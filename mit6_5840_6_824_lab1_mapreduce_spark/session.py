@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for both local testing and 100 TB posture.
+
+Local tests run on ``local[N]``; the conf below is chosen so the same
+logical plans scale to a multi-executor cluster: AQE on (runtime
+partition coalescing + skew-join splitting), Arrow for any Python
+exchange, UTC session time zone for deterministic timestamp semantics.
+
+Cluster-scale knobs that matter at 100 TB (documented here, harmless
+locally):
+- ``spark.sql.shuffle.partitions``: sized ~2-3x total cores on a real
+  cluster; AQE coalesces down, so err high. Locally 32.
+- ``spark.sql.files.maxPartitionBytes``: 128m default keeps scan tasks
+  balanced; at 100 TB this yields ~800k scan tasks, which is fine.
+- ``spark.sql.adaptive.skewJoin.enabled``: splits skewed shuffle
+  partitions at runtime (hot keys in joins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mr-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
