@@ -1,1 +1,286 @@
-"""Placeholder — queries registered incrementally."""
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+The reference engine has no joins/windows/sorts/set-ops (SURVEY §2.5) —
+these queries are the additive surface that makes the Spark engine a
+complete analytics engine, and they double as the bench workload.
+
+Scale notes (100 TB posture), verified via .explain():
+- dimension joins (region/nation/supplier/customer at bench sf) are
+  broadcast — no shuffle of the fact table for those edges;
+- aggregations are partial → shuffle-by-key → final (map-side combine);
+- top-k = TakeOrderedAndProject (no global sort materialization);
+- all money aggregates use exact decimal math (see _util) so results
+  are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import table
+from ._util import MONEY, avg_of, disc_price, charge, sum_expr, sum_money, ts_str
+from .registry import query
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=r"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregation; the canonical
+    map-side-combine workload (the wc of relational engines)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
+    qty = F.col("l_quantity").cast(MONEY)
+    price = F.col("l_extendedprice").cast(MONEY)
+    disc = F.col("l_discount").cast(MONEY)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_expr(qty, "sum_qty"),
+        sum_expr(price, "sum_base_price"),
+        sum_expr(disc_price(), "sum_disc_price"),
+        sum_expr(charge(), "sum_charge"),
+        avg_of(F.sum(qty), F.count("*"), "avg_qty"),
+        avg_of(F.sum(price), F.count("*"), "avg_price"),
+        avg_of(F.sum(disc), F.count("*"), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=r"""
+    SELECT l.l_orderkey AS orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective 3-way join + top-k. customer is the small
+    side (broadcast); top-k compiles to TakeOrderedAndProject —
+    no global sort. Tie-broken by orderkey for determinism."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum_expr(disc_price(), "revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            ts_str("o_orderdate", "orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=r"""
+    SELECT n.n_name AS nation,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join. All dimensions (region, nation,
+    supplier, customer) broadcast; only the orders⋈lineitem edge
+    shuffles — at 100 TB that is the only unavoidable shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        sum_expr(disc_price(), "revenue")
+    )
+
+
+@query(
+    "sales_rollup",
+    oracle=r"""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus).
+    NULL grouping rows coalesced to '<all>' for stable hashing."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            sum_money("l_extendedprice", "sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "orders_top3_per_customer",
+    oracle=r"""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def orders_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-group top-k via row_number.
+    Single shuffle by custkey; at scale AQE handles group skew."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle=r"""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (left_anti — one shuffle, no row explosion)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "custkeys_only_small_orders",
+    oracle=r"""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def custkeys_only_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (EXCEPT = except distinct; Spark subtract)."""
+    o = table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    big_c = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(big_c)
+
+
+@query(
+    "supplier_part_distinct_count",
+    oracle=r"""
+    SELECT l_suppkey AS suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_part_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate coverage (two-phase distinct agg under AQE)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "brand_quantity_topk",
+    oracle=r"""
+    SELECT p.p_brand AS brand,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY total_qty DESC, brand ASC
+    LIMIT 10
+    """,
+)
+def brand_quantity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast fact⋈dim join + grouped top-k."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(sum_money("l_quantity", "total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("brand"))
+        .limit(10)
+    )

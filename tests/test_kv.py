@@ -1,0 +1,73 @@
+"""Differential test of the KV replay against the pure-Python
+reference model (restating src/models/kv.go:40-54 + dedup), on a
+randomized op log with retries — the interesting case (FIXTURES F5)."""
+
+from __future__ import annotations
+
+import random
+
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import (
+    lookup,
+    replay_final_state,
+    replay_python_model,
+)
+
+SCHEMA = "seq long, client_id long, request_id long, op string, key string, value string"
+
+
+def _gen_ops(n: int, seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    ops, seq = [], 0
+    next_req = {c: 0 for c in range(5)}
+    for _ in range(n):
+        c = rng.randrange(5)
+        op = rng.choice(["Put", "Append", "Append", "Get"])
+        key = f"k{rng.randrange(8)}"
+        val = None if op == "Get" else str(rng.randrange(100))
+        if op != "Get":
+            rid = next_req[c]
+            # clerk retry: same (client, request) committed twice
+            repeats = 2 if rng.random() < 0.3 else 1
+            for _ in range(repeats):
+                ops.append((seq, c, rid, op, key, val))
+                seq += 1
+            next_req[c] += 1
+        else:
+            ops.append((seq, c, next_req[c], op, key, val))
+            seq += 1
+    return ops
+
+
+def test_replay_matches_reference_model(spark):
+    ops = _gen_ops(400, seed=42)
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    got = {r["key"]: r["value"] for r in replay_final_state(df).collect()}
+    want = replay_python_model(ops)
+    assert got == want
+
+
+def test_replay_retry_suppression_exact(spark):
+    # Hand-built log: retried Append must apply once; Put resets.
+    ops = [
+        (1, 1, 1, "Append", "k", "a"),
+        (2, 1, 1, "Append", "k", "a"),  # retry → suppressed
+        (3, 2, 1, "Append", "k", "b"),
+        (4, 1, 2, "Put", "k", "X"),
+        (5, 1, 3, "Append", "k", "c"),
+        (6, 1, 3, "Append", "k", "c"),  # retry → suppressed
+        (7, 3, 1, "Get", "k", None),
+    ]
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    state = replay_final_state(df)
+    assert lookup(state, "k") == "Xc"
+    assert lookup(state, "missing") == ""  # ErrNoKey → ""
+
+
+def test_put_only_last_writer_wins(spark):
+    ops = [
+        (1, 1, 1, "Put", "k", "first"),
+        (2, 1, 2, "Put", "k", "second"),
+        (3, 2, 1, "Put", "k", "third"),
+    ]
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    assert lookup(replay_final_state(df), "k") == "third"
