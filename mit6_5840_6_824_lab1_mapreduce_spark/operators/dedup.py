@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM-data pipelines, DataFrame-native.
+
+Five families (all JVM-side expressions — no Python UDFs in any hot
+path):
+
+- exact:      hash-groupBy on content digest
+- MinHash+LSH: shingle → k-min md5 signature → banded bucket join →
+              exact-Jaccard verify (the 100 TB fuzzy-dedup workhorse:
+              candidate generation is an equi-join on (band, hash),
+              never an all-pairs product)
+- SimHash:    32-bit parity-of-md5-digit fingerprint, banded by the
+              pigeonhole principle for hamming-radius search
+- n-gram Jaccard: exact similarity on character n-grams for bounded
+              candidate groups
+- embedding cosine: exact integer-quantized cosine (see similarity.py)
+
+Determinism contract: every hash is md5-hex (identical in Spark and
+DuckDB); MinHash takes the lexicographic min of hex strings; all
+ratios are computed from exact integers then rounded — so results are
+bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import LETTER_SPLIT_RE
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(col, LETTER_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (empty if fewer than n tokens)."""
+    t = tokens(col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams_expr(text_col: str, n: int = 8) -> Column:
+    """Array of character n-grams of a column (by name), via expr."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n})) "
+        f"ELSE array() END"
+    )
+
+
+def shingle_pairs_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the input to MinHash and to exact
+    Jaccard verification."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature_df(pairs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k-permutation MinHash via seeded md5: sig_i = min(md5('i|' || s)).
+
+    Lexicographic min over hex digests is a valid min-hash family and
+    is engine-portable. One shuffle (groupBy id), k aggregates."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return pairs.groupBy("id").agg(*aggs)
+
+
+def lsh_bands_df(sig: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(id, band_idx, band_hash): md5 of the concatenated band rows."""
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    wide = sig.select("id", *band_cols)
+    stack = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return wide.select(
+        "id", F.expr(f"stack({bands}, {stack}) as (band_idx, band_hash)")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing ≥1 band bucket. Equi-join on
+    (band_idx, band_hash) — shuffle by bucket, no cross product."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|), exact ints → double → 6dp."""
+    cnt = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("id").alias("id_a"), "shingle")
+    sb = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(cnt.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(cnt.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: near-duplicate pairs above `threshold`
+    Jaccard on word 3-gram shingles. Scales as three equi-joins —
+    shingle explode, band bucket join, verify join — all shuffle-
+    partitioned by their keys; nothing quadratic, nothing on the driver."""
+    sh = shingle_pairs_df(docs, id_col, text_col)
+    sig = minhash_signature_df(sh)
+    cands = lsh_candidate_pairs(lsh_bands_df(sig))
+    return jaccard_verified_pairs(cands, sh, threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: bit b = sign of Σ_tokens count·(2·parity(md5 hex
+    digit b) − 1). One md5 per distinct token; exact integer sums."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tc = tok.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
+    h = tc.withColumn("hx", F.md5(F.col("tok")))
+    bits = h.select(
+        "id",
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    (
+                        F.when(
+                            F.col("hx")
+                            .substr(b + 1, F.lit(1))
+                            .isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                    ).alias("sgn"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.b").alias("b"), (F.col("bb.sgn") * F.col("cnt")).alias("contrib"))
+    per_bit = bits.groupBy("id", "b").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Hamming-radius pairs via pigeonhole banding: split 32 bits into
+    (max_hamming//8 + ... ) segments — with 4 8-bit segments any pair at
+    hamming ≤ 6 (< 8? no: ≤ 3 guarantees a shared segment of 4; for
+    radius r, r+1 segments guarantee one exact match). We band into
+    r+1 segments, equi-join on (segment_idx, segment_value), then
+    verify with bit_count(xor). No cross product."""
+    segs = max_hamming + 1
+    width = 32 // segs if 32 % segs == 0 else (32 // segs) + 1
+    seg_cols = []
+    for s in range(segs):
+        lo = s * width
+        w = min(width, 32 - lo)
+        if w <= 0:
+            break
+        seg_cols.append(
+            (
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                % F.shiftleft(F.lit(1).cast("long"), w)
+            ).alias(f"seg{s}")
+        )
+    wide = fps.select("id", "simhash", *seg_cols)
+    n = len(seg_cols)
+    stack = ", ".join(f"{s}, seg{s}" for s in range(n))
+    banded = wide.select(
+        "id", "simhash", F.expr(f"stack({n}, {stack}) as (seg_idx, seg_val)")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups by content digest; keeper = min id."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )

@@ -1,1 +1,222 @@
-"""Placeholder — queries registered incrementally."""
+"""Dedup operator suite as oracle-checked queries over ``documents``.
+
+The DuckDB oracles re-derive the full pipelines (shingle → minhash →
+bands → verify; token → simhash) independently in SQL; the Spark side
+uses the scalable banded implementations from operators/dedup.py — so
+the compare also proves the banded algorithms equal their brute-force
+restatements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..plans import table
+from .registry import query
+
+_SHINGLES_SQL = r"""
+  toks AS (
+    SELECT doc_id AS id,
+           list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+    FROM documents
+  ),
+  sh0 AS (
+    SELECT id, unnest(CASE WHEN len(ts) >= 3
+      THEN list_transform(range(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      ELSE CAST([] AS VARCHAR[]) END) AS shingle
+    FROM toks
+  ),
+  sh AS (SELECT DISTINCT id, shingle FROM sh0)
+"""
+
+_MINHASH_SQL = (
+    "sig AS (SELECT id, "
+    + ", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(16))
+    + " FROM sh GROUP BY id)"
+)
+
+_BANDS_SQL = r"""
+  bands AS (
+    SELECT id, 0 AS band_idx, md5(h0||h1||h2||h3) AS band_hash FROM sig
+    UNION ALL SELECT id, 1, md5(h4||h5||h6||h7) FROM sig
+    UNION ALL SELECT id, 2, md5(h8||h9||h10||h11) FROM sig
+    UNION ALL SELECT id, 3, md5(h12||h13||h14||h15) FROM sig
+  )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest (one shuffle by
+    digest; at 100 TB, digest once at ingest and dedup becomes a
+    groupBy on a 32-byte key)."""
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4×4) + exact-Jaccard verify at 0.8 on word
+    3-gram shingles. Candidate generation is an equi-join on band
+    buckets — the only algorithm in this family that survives 100 TB."""
+    return D.minhash_lsh_dedup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+_SIMHASH_SQL = r"""
+  toks AS (
+    SELECT doc_id AS id,
+           unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS tok
+    FROM documents
+  ),
+  tc AS (SELECT id, tok, count(*) AS cnt, md5(tok) AS hx FROM toks GROUP BY id, tok),
+  bits AS (
+    SELECT id, bs.b AS b,
+           sum(CASE WHEN substr(hx, CAST(bs.b + 1 AS INTEGER), 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN cnt ELSE -cnt END) AS s
+    FROM tc CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+    GROUP BY id, bs.b
+  ),
+  fp AS (
+    SELECT id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY id
+  )
+"""
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=rf"WITH {_SIMHASH_SQL} SELECT id, simhash FROM fp",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (count-weighted token
+    hashes; one md5 per distinct token)."""
+    return D.simhash32(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=rf"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ 6. Spark side uses pigeonhole
+    banding (7 segments → equi-join, no cross product); the oracle
+    brute-forces all pairs — matching results prove the banding is
+    lossless."""
+    fps = D.simhash32(table(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(fps, max_hamming=6)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH g AS (SELECT doc_id AS id, lang, source, text FROM documents),
+    grams0 AS (
+      SELECT id, unnest(CASE WHEN length(text) >= 8
+        THEN list_transform(range(1, length(text) - 6),
+                            i -> substr(text, CAST(i AS INTEGER), 8))
+        ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM g
+    ),
+    grams AS (SELECT DISTINCT id, gram FROM grams0),
+    cnt AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN grams ga ON ga.id = p.id_a
+      JOIN grams gb ON gb.id = p.id_b AND gb.gram = ga.gram
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram Jaccard within bounded candidate groups
+    (same lang+source). The bounded-group pattern is the scale story:
+    similarity only ever computed inside small blocking partitions."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(F.col("doc_id").alias("id"), "lang", "source", "text")
+    grams = (
+        g.select("id", F.explode(D.char_ngrams_expr("text", 8)).alias("gram"))
+        .distinct()
+    )
+    cnt = grams.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(cnt.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(cnt.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )

@@ -1,1 +1,140 @@
-"""Placeholder — queries registered incrementally."""
+"""Event-stream analytics (batch restatement of the streaming surface).
+
+The streaming module (mit6_5840_6_824_lab1_mapreduce_spark/streaming)
+runs the same logic incrementally with watermarks; these batch
+queries are the oracle-checkable semantics. Timestamps are emitted as
+formatted strings (cross-engine hash stability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import table
+from ._util import ts_str
+from .registry import query
+
+
+@query(
+    "events_hourly_agg",
+    oracle=r"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (1h) — the batch twin of the
+    streaming windowed count. Partial aggregation before the shuffle;
+    cardinality = hours × event_types, tiny at any scale."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            ts_str(F.date_trunc("hour", F.col("ts")), "hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=r"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection (30 min), the classic
+    lag-window pattern. One shuffle by user_id; at 100 TB this is the
+    `session_window` streaming aggregation instead."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "events_user_running_value",
+    oracle=r"""
+    SELECT event_id,
+           user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (cumulative per-user spend) — ordered
+    frame coverage. Exact decimal running sum for determinism."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_value"),
+    )
+
+
+@query(
+    "events_daily_active_users",
+    oracle=r"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU rollup; at scale the distinct-count shuffles once by
+    (day, user) then once by day (two-phase distinct agg)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+    )
