@@ -1,1 +1,113 @@
-"""Placeholder — queries registered incrementally."""
+"""Similarity-search queries over ``embeddings`` (array<float>).
+
+Shared determinism scheme with operators/similarity.py: int64
+quantization → exact dot/norm integers → IEEE-identical cosine on
+both engines. The LSH hyperplanes are a deterministic md5-derived
+constant embedded in both the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity as S
+from ..plans import table
+from .registry import query
+
+_QUANT_SQL = r"""
+  v AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+    FROM embeddings
+  ),
+  n AS (
+    SELECT vec_id, q,
+           list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS n2
+    FROM v
+  )
+"""
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, len({a}.q) + 1),"
+    " i -> {a}.q[i] * {b}[i]))"
+    " / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE))), 6)"
+)
+
+_PLANES = S.hyperplanes()  # 8×64 constant, shared with the oracle below
+_PLANES_VALUES = ", ".join(
+    f"({p},{d},{w})" for p, row in enumerate(_PLANES) for d, w in enumerate(row)
+)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    qv AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0)
+    SELECT n.vec_id,
+           {_COS_SQL.format(a="n", b="qv.qq", n2b="qv.qn2")} AS cos
+    FROM n, qv
+    WHERE n.vec_id <> 0
+    ORDER BY cos DESC, n.vec_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vector vec_id=0 — the ANN
+    correctness baseline. Broadcast single-row query; top-k compiles
+    to TakeOrderedAndProject (no global sort)."""
+    return S.brute_force_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=rf"""
+    WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
+    {_QUANT_SQL},
+    pv AS (
+      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM pv GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    qv AS (SELECT q AS qq, n2 AS qn2, bucket AS qb FROM nb WHERE vec_id = 0)
+    SELECT nb.vec_id,
+           {_COS_SQL.format(a="nb", b="qv.qq", n2b="qv.qn2")} AS cos
+    FROM nb, qv
+    WHERE nb.bucket = qv.qb AND nb.vec_id <> 0
+    ORDER BY cos DESC, nb.vec_id ASC
+    LIMIT 5
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH (8 sign bits → bucket),
+    exact cosine ranking within the query's bucket. At 100 TB the
+    table is written partitioned by bucket → a query prunes to one
+    partition (IVF-style)."""
+    return S.lsh_ann_topk(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, planes=_PLANES
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=rf"""
+    WITH {_QUANT_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.45). Correctness
+    baseline is the full product; the production path at scale is
+    operators/similarity.lsh_near_pairs (bucket equi-join)."""
+    return S.embedding_near_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
