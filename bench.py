@@ -1,0 +1,80 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count() action (full evaluation, no
+driver-side result materialization beyond the row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
+
+# Headline set: the scan/join/window/dedup/similarity workhorses.
+# (Excludes probe-scale queries whose cost is negligible either way.)
+HEADLINE = [
+    "wc_wordcount",
+    "indexer_inverted_index",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "sales_rollup",
+    "orders_top3_per_customer",
+    "supplier_part_distinct_count",
+    "events_hourly_agg",
+    "events_sessionization",
+    "kv_final_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session on the smallest query so first-query timing
+    # isn't dominated by executor startup.
+    REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

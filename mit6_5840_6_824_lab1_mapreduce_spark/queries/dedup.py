@@ -139,16 +139,16 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming ≤ 6. Spark side uses pigeonhole
-    banding (7 segments → equi-join, no cross product); the oracle
+    """Near-dup pairs at hamming ≤ 3. Spark side uses pigeonhole
+    banding (4 segments → equi-join, no cross product); the oracle
     brute-forces all pairs — matching results prove the banding is
     lossless."""
     fps = D.simhash32(table(spark, sf_dir, "documents"))
-    return D.simhash_near_pairs(fps, max_hamming=6)
+    return D.simhash_near_pairs(fps, max_hamming=3)
 
 
 @query(

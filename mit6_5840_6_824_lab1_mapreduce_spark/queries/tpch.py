@@ -209,17 +209,21 @@ def orders_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_without_orders",
+    "customers_without_urgent_orders",
     oracle=r"""
     SELECT c_custkey AS custkey, c_name AS name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join coverage (left_anti — one shuffle, no row explosion)."""
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (left_anti — one shuffle, no row explosion).
+    Filter on the build side before the join so the anti-join input is
+    already pruned (predicate pushdown reaches the orders scan)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
     )
