@@ -15,6 +15,8 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=8)
+    # local[4,2]: 4 threads, 2 task attempts — so injected-failure
+    # retry tests exercise the re-execution path (reference C9 analog).
+    s = get_spark(app_name="pytest", master="local[4,2]", shuffle_partitions=8)
     yield s
     s.stop()

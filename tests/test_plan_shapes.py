@@ -1,0 +1,60 @@
+"""Scale-posture assertions: the physical plans must have the shape
+that survives 100 TB — filters pushed to the parquet scan, pruned
+read schemas, broadcast joins for dimensions, no cartesian products,
+top-k compiled to TakeOrderedAndProject. `.explain()` as a test
+oracle, per the build brief."""
+
+from __future__ import annotations
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_schema_pruned(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    # only the 7 needed columns are read, not all 11
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_no_shuffle_join_on_dims(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    # all four dimension joins broadcast; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "wc_wordcount")
+    # map-side combine: HashAggregate appears before and after the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(word" in plan
+
+
+def test_no_cartesian_anywhere(spark):
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_is_take_ordered(spark):
+    for name in ("brand_quantity_topk", "similarity_topk_bruteforce"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
