@@ -176,41 +176,33 @@ def minhash_lsh_dedup_pairs(
 
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash: bit b = sign of Σ_tokens count·(2·parity(md5 hex
-    digit b) − 1). One md5 per distinct token; exact integer sums."""
+    digit b) − 1). One md5 per distinct token; exact integer sums.
+
+    Physical shape: 32 conditional-sum aggregates in ONE groupBy(id) —
+    no per-bit row explosion, so shuffle volume is one row per
+    (doc, distinct token), not 32×."""
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     tc = tok.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
     h = tc.withColumn("hx", F.md5(F.col("tok")))
-    bits = h.select(
-        "id",
-        "cnt",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    (
-                        F.when(
-                            F.col("hx")
-                            .substr(b + 1, F.lit(1))
-                            .isin("1", "3", "5", "7", "9", "b", "d", "f"),
-                            F.lit(1),
-                        ).otherwise(F.lit(-1))
-                    ).alias("sgn"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.b").alias("b"), (F.col("bb.sgn") * F.col("cnt")).alias("contrib"))
-    per_bit = bits.groupBy("id", "b").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("id").agg(
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    bit_sums = [
         F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
+            F.when(F.substring("hx", b + 1, 1).isin(*odd), F.col("cnt")).otherwise(
+                -F.col("cnt")
             )
-        ).alias("simhash")
-    )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    per_doc = h.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
