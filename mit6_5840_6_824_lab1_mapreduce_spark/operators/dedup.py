@@ -165,7 +165,13 @@ def minhash_lsh_dedup_pairs(
     Jaccard on word 3-gram shingles. Scales as three equi-joins —
     shingle explode, band bucket join, verify join — all shuffle-
     partitioned by their keys; nothing quadratic, nothing on the driver."""
-    sh = shingle_pairs_df(docs, id_col, text_col)
+    # The distinct (id, shingle) table feeds four consumers (signature,
+    # per-doc counts, and both sides of the verify join); Catalyst does
+    # not reuse the exchange across them (0 ReusedExchange in the
+    # physical plan), so persist it once — MEMORY_AND_DISK spills
+    # gracefully at cluster scale, where this table is also the thing
+    # you would checkpoint between pipeline stages.
+    sh = shingle_pairs_df(docs, id_col, text_col).persist()
     sig = minhash_signature_df(sh)
     cands = lsh_candidate_pairs(lsh_bands_df(sig))
     return jaccard_verified_pairs(cands, sh, threshold)
@@ -212,6 +218,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     radius r, r+1 segments guarantee one exact match). We band into
     r+1 segments, equi-join on (segment_idx, segment_value), then
     verify with bit_count(xor). No cross product."""
+    fps = fps.persist()  # one row per doc; both sides of the self-join read it
     segs = max_hamming + 1
     width = 32 // segs if 32 % segs == 0 else (32 // segs) + 1
     seg_cols = []

@@ -187,24 +187,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity only ever computed inside small blocking partitions."""
     docs = table(spark, sf_dir, "documents")
     g = docs.select(F.col("doc_id").alias("id"), "lang", "source", "text")
-    grams = (
-        g.select("id", F.explode(D.char_ngrams_expr("text", 8)).alias("gram"))
+    # Intersection via gram self-join WITHIN blocking keys — shuffle is
+    # partitioned by (gram, lang, source), and blocked pairs that share
+    # no gram never materialize. (The naive pairs×grams expansion was
+    # 3× slower at bench scale and quadratic in block size at 100 TB.)
+    gm = (
+        g.select(
+            "id", "lang", "source",
+            F.explode(D.char_ngrams_expr("text", 8)).alias("gram"),
+        )
         .distinct()
+        .persist()  # feeds cnt + both sides of the intersection join
     )
-    cnt = grams.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    ga = grams.select(F.col("id").alias("id_a"), "gram")
-    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    cnt = gm.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = gm.alias("a"), gm.alias("b")
     inter = (
-        pairs.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     return (
