@@ -17,6 +17,7 @@ from . import tpch  # noqa: E402,F401
 from . import kv  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import joins  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text_metrics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

@@ -58,3 +58,29 @@ def test_no_cartesian_anywhere(spark):
 def test_topk_is_take_ordered(spark):
     for name in ("brand_quantity_topk", "similarity_topk_bruteforce"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_asof_join_is_single_window_pass(spark):
+    # the as-of join must compile to union + window (one hash shuffle
+    # on the key), never a theta-join
+    plan = _plan(spark, "events_asof_last_purchase")
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    # bucketed rewrite: the join must be hash-based on (key, bucket),
+    # not a nested-loop over the inequality
+    plan = _plan(spark, "events_error_click_window")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_cube_is_one_expand_pass(spark):
+    plan = _plan(spark, "docs_cube_stats")
+    assert "Expand" in plan  # all grouping sets in one scan
+
+
+def test_exists_compiles_to_semi_join(spark):
+    plan = _plan(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
