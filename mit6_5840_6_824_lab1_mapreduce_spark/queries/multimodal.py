@@ -50,3 +50,90 @@ def multimodal_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat(17),
         feat(25),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=r"""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             text,
+             greatest(CAST(floor(length(text) / 64.0) AS INTEGER), 1) AS n_frames
+      FROM documents
+    )
+    SELECT asset_id, modality,
+           CAST(i - 1 AS BIGINT) AS frame_idx,
+           md5(substr(text, (i - 1) * 64 + 1, 64)) AS frame_digest
+    FROM a, unnest(range(1, n_frames + 1)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over opaque payloads (video-frame
+    analog): pure JVM byte slicing via transform+explode — no Python,
+    no shuffle; output rows scale with payload bytes / stride. Frames
+    are emitted as digests (the payload itself never needs to leave
+    the executor)."""
+    from ..operators.multimodal import assets_from_documents, frame_sample
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    frames = frame_sample(assets, every_n_bytes=64)
+    return frames.select(
+        "asset_id",
+        "modality",
+        F.col("frame_idx"),
+        F.md5(F.col("frame")).alias("frame_digest"),
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=r"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           length(text) AS n_bytes,
+           round(0.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text),  1, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text),  2, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text),  3, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text),  4, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text),  5, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text),  6, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text),  7, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text),  8, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text),  9, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text), 11, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text), 12, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text), 13, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text), 14, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(text), 15, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(text), 16, 1)) - 1)) / 255.0
+           , 6) AS feat_sum
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Pandas-UDF decode path: mapInPandas over Arrow
+    batches runs the (stubbed, deterministic) decoder per asset; the
+    oracle recomputes the md5-derived feature sum in SQL — proving
+    the Python batch plumbing (schema, batching, byte handling) is
+    lossless. At scale this stage is the pattern for real codecs:
+    decode parallelism = partition count, payloads never hit the
+    driver."""
+    from ..operators.multimodal import assets_from_documents, extract_features
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    feats = extract_features(assets, fake=True)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+    )
