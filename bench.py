@@ -32,15 +32,22 @@ HEADLINE = [
     "supplier_part_distinct_count",
     "events_hourly_agg",
     "events_sessionization",
+    "events_asof_last_purchase",
+    "events_error_click_window",
+    "docs_cube_stats",
+    "late_shipment_priority",
     "kv_final_state",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "text_quality_score",
     "text_fingerprint",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
 ]
 
 
@@ -53,6 +60,17 @@ def main() -> None:
     # Warm the JVM/session on the smallest query so first-query timing
     # isn't dominated by executor startup.
     REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir).count()
+    # Warm the Python worker pool (one pandas/pyarrow import per core):
+    # Arrow-UDF stages otherwise pay ~8s of one-time fork+import cost
+    # that says nothing about operator throughput.
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(n_workers * 4, numPartitions=n_workers).mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -74,10 +74,12 @@ def shingle_pairs_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.size(t) >= n,
         F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts"))
-        .select("id", F.explode(shingles).alias("shingle"))
-        .distinct()
+    # Dedup happens per-doc INSIDE the row (array_distinct before the
+    # explode) — a narrow map-side op, not a cluster-wide distinct
+    # shuffle. A groupBy-distinct here cost more than the rest of the
+    # MinHash pipeline combined at bench scale.
+    return docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")).select(
+        "id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

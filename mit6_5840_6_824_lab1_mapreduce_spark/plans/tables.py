@@ -33,6 +33,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "documents":
+        # The doc pipelines (shingle/gram/token explode, decode UDFs)
+        # do heavy per-row expansion, but the testdata ships documents
+        # as ONE small parquet file → a 1-partition scan would run
+        # every explode single-threaded. Spread rows across the
+        # cluster first; the text shuffle is tiny relative to the
+        # expansion it parallelizes. (On a real corpus the input is
+        # already thousands of files and this is a no-op cost.)
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -191,16 +191,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned by (gram, lang, source), and blocked pairs that share
     # no gram never materialize. (The naive pairs×grams expansion was
     # 3× slower at bench scale and quadratic in block size at 100 TB.)
-    gm = (
-        g.select(
-            "id", "lang", "source",
-            F.explode(D.char_ngrams_expr("text", 8)).alias("gram"),
-        )
-        .distinct()
-        .persist()  # feeds cnt + both sides of the intersection join
-    )
+    # Per-doc gram dedup is array_distinct before the explode — narrow,
+    # no shuffle (vs. a cluster-wide distinct on 2.5M exploded rows).
+    gm = g.select(
+        "id", "lang", "source",
+        F.explode(F.array_distinct(D.char_ngrams_expr("text", 8))).alias("gram"),
+    ).persist()  # feeds cnt + both sides of the intersection join
     cnt = gm.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = gm.alias("a"), gm.alias("b")
+    # shuffle_hash: high-cardinality random join keys gain nothing
+    # from sort-merge's ordering; hash join skips sorting both sides
+    # (and, unlike broadcast, stays valid when gm is TB-sized).
+    a, b = gm.alias("a"), gm.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
