@@ -41,3 +41,32 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") ->
             "sum_value",
         )
     )
+
+
+def user_session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (30-min inactivity gap) — the
+    streaming twin of the batch sessionization query. Spark merges
+    overlapping per-event windows into sessions incrementally; the
+    watermark closes sessions once no on-time event can extend them,
+    so state stays bounded regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

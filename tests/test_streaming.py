@@ -91,3 +91,134 @@ def test_windowed_stream_matches_batch(spark, tmpdir):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) - 10
+
+
+def test_session_stream_matches_batch(spark, tmpdir):
+    from mit6_5840_6_824_lab1_mapreduce_spark.streaming import user_session_stream
+
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{tmpdir}/events.parquet")
+    ev = read_events_stream(spark, tmpdir)
+    _run_available_now(user_session_stream(ev), "sessions", tmpdir)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # batch twin: session_window is also a batch operator — same
+    # grouping run over the static table is the oracle
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+    # append mode withholds only sessions the final watermark hasn't
+    # closed — near-complete coverage on a bounded replay
+    assert len(got) >= len(want) - len({u for (u, _s) in want})
+
+
+def test_watermark_closes_windows_exactly_once(spark, tmpdir):
+    """The watermark contract that append mode actually guarantees
+    (verified empirically on this Spark version): data no later than
+    the watermark is aggregated; each window is emitted EXACTLY once,
+    only after the watermark passes its end; window state is evicted
+    afterwards (bounded memory). Note the watermark is a state-bound
+    + completeness contract, NOT a precise drop filter — data later
+    than the watermark MAY still be merged while the window's state
+    happens to be live."""
+    import datetime as dt
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.streaming import (
+        hourly_event_counts_stream,
+    )
+
+    def write_file(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    T = dt.datetime(2024, 6, 1)
+    write_file(
+        f"{tmpdir}/b1.parquet", [(1, T.replace(hour=12)), (2, T.replace(hour=13))]
+    )
+    _time.sleep(1.1)  # file-stream orders batches by mtime
+    # 15:30 is 1.5h behind 17:00 — within the 2h watermark, must count
+    write_file(
+        f"{tmpdir}/b2.parquet",
+        [(3, T.replace(hour=17)), (4, T.replace(hour=15, minute=30))],
+    )
+    _time.sleep(1.1)
+    write_file(f"{tmpdir}/b3.parquet", [(5, T.replace(hour=21))])
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+    )
+    emitted: list[tuple[str, int]] = []
+    q = (
+        hourly_event_counts_stream(ev, watermark="2 hours")
+        .writeStream.foreachBatch(
+            lambda df, bid: emitted.extend(
+                (r["hour"], r["n_events"]) for r in df.collect()
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt-late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hours = [h for h, _n in emitted]
+    # exactly-once: no window appears twice across all micro-batches
+    assert len(hours) == len(set(hours))
+    got = dict(emitted)
+    # completeness: every window the final watermark (19:00) passed
+    # was emitted, including the late-but-within-watermark 15:30 event
+    assert got["2024-06-01 12:00:00"] == 1
+    assert got["2024-06-01 13:00:00"] == 1
+    assert got["2024-06-01 15:00:00"] == 1
+    assert got["2024-06-01 17:00:00"] == 1
+    # the still-open 21:00 window must NOT have been emitted
+    assert "2024-06-01 21:00:00" not in got
+    # bounded state: only the open window survives in the state store
+    final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state == 1
