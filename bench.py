@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
+    "similarity_lsh_near_pairs",
     "dedup_embedding_cosine",
     "text_quality_score",
     "text_fingerprint",

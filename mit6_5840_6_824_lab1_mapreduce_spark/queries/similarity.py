@@ -111,3 +111,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is the full product; the production path at scale is
     operators/similarity.lsh_near_pairs (bucket equi-join)."""
     return S.embedding_near_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@query(
+    "similarity_lsh_near_pairs",
+    oracle=rf"""
+    WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
+    {_QUANT_SQL},
+    pv AS (
+      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM pv GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} AS cos
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} >= 0.45
+    """,
+)
+def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-pair mining, sub-quadratic scale path: only pairs sharing
+    an LSH bucket are scored (equi-join on bucket — the shuffle is
+    partitioned by bucket, the full product never materializes).
+    Recall < 1 by design vs dedup_embedding_cosine's exact baseline;
+    the oracle restates the SAME bucketed semantics, so the compare
+    proves the Spark bucketing + exact-cosine scoring are lossless."""
+    return S.lsh_near_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.45, planes=_PLANES
+    )
