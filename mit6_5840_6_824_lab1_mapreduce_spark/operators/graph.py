@@ -1,0 +1,72 @@
+"""Iterative graph operators: connected components by min-label
+propagation — the clustering step that turns near-duplicate PAIRS
+into dedup GROUPS (keep one doc per component).
+
+This is the one operator class here that is inherently iterative:
+each round is a join + aggregate (both hash-partitioned by vertex),
+and the loop runs until no label changes — ≤ graph-diameter rounds.
+Near-dup graphs are forests of tiny cliques, so the diameter is small
+and the per-round shuffle is proportional to the edge count, never
+quadratic. Labels persist per round and the previous round is
+unpersisted (bounded storage); convergence is checked with a count()
+on changed labels (the only driver-side value — a scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """``vertices``: one column ``id``. ``edges``: columns
+    ``id_a, id_b`` (undirected, any orientation). Returns
+    ``(id, component)`` where component = min vertex id reachable.
+
+    Deterministic: min-label propagation has a unique fixed point.
+    """
+    adj = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (eager) rather than persist: an iterative loop
+    # must TRUNCATE lineage each round or the logical plan doubles per
+    # iteration (labels appears twice per round) and planning itself
+    # OOMs after ~15 rounds. Checkpointed partitions live on the
+    # executors; the driver only ever sees the scalar `changed` count.
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # each vertex's candidate label: min over its neighbors' labels
+        neighbor_min = (
+            adj.join(labels, adj.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    adj.unpersist()
+    return labels

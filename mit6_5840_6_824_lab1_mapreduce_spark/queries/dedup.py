@@ -226,3 +226,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.3)
     )
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    jpairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION SELECT id_b, id_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    """,
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (min-label
+    propagation, operators/graph.py) over the MinHash+LSH pair graph
+    — the step that turns pairs into dedup groups with one keeper per
+    component. Iterative DataFrame loop, ≤ diameter rounds, each a
+    hash join + aggregate; the oracle is a recursive-CTE transitive
+    closure over the identical pair graph."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    verts = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(verts, pairs)
+    return cc.select(F.col("id").alias("doc_id"), "component")

@@ -1,0 +1,37 @@
+"""Connected-components unit semantics: chains, cliques, singletons,
+orientation-independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.graph import connected_components
+
+
+def test_components_chain_clique_singleton(spark):
+    verts = spark.createDataFrame([Row(id=i) for i in range(1, 9)])
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds),
+    # clique 5-6-7, singleton 8; edge orientation mixed
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=2, id_b=1),
+            Row(id_a=2, id_b=3),
+            Row(id_a=4, id_b=3),
+            Row(id_a=5, id_b=6),
+            Row(id_a=7, id_b=5),
+            Row(id_a=6, id_b=7),
+        ]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_components_long_chain_converges(spark):
+    n = 20
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
