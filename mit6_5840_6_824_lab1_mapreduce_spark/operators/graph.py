@@ -33,12 +33,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Only edge-endpoint vertices iterate; the singleton majority (in
+    # a near-dup graph, almost everything) never enters the loop and
+    # is unioned back at the end as its own component. At corpus scale
+    # this shrinks every per-round shuffle from |V| to |V_with_edges|.
+    active = adj.select(F.col("src").alias("id")).distinct()
     # localCheckpoint (eager) rather than persist: an iterative loop
     # must TRUNCATE lineage each round or the logical plan doubles per
     # iteration (labels appears twice per round) and planning itself
     # OOMs after ~15 rounds. Checkpointed partitions live on the
     # executors; the driver only ever sees the scalar `changed` count.
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    labels = active.select("id", F.col("id").alias("component")).localCheckpoint()
 
     for _ in range(max_iter):
         # each vertex's candidate label: min over its neighbors' labels
@@ -68,5 +73,9 @@ def connected_components(
         if changed == 0:
             break
 
+    singletons = (
+        vertices.join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
     adj.unpersist()
-    return labels
+    return labels.unionByName(singletons)
