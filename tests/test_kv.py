@@ -71,3 +71,14 @@ def test_put_only_last_writer_wins(spark):
     ]
     df = spark.createDataFrame(ops, schema=SCHEMA)
     assert lookup(replay_final_state(df), "k") == "third"
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 11, 99])
+def test_replay_matches_reference_model_seeds(spark, seed):
+    ops = _gen_ops(250, seed=seed)
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    got = {r["key"]: r["value"] for r in replay_final_state(df).collect()}
+    assert got == replay_python_model(ops)

@@ -72,3 +72,25 @@ def test_bucket_layout_parity(spark):
     ).collect()
     for part, key in per_part:
         assert part == reduce_bucket(key, 7)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_doc_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+    max_size=200,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_wc_property_distributed_matches_sequential(spark, texts):
+    """Property: for arbitrary corpora (accented Latin incl. the
+    tokenizer edge cases), the distributed job equals the sequential
+    oracle after canonical sort — the reference's own invariant."""
+    corpus = [(f"f{i}.txt", t) for i, t in enumerate(texts)]
+    m, r = mrapps.APPS["wc"]
+    got = sorted(run_job(corpus, m, r, n_reduce=3, spark=spark).collect())
+    want = sorted(run_sequential(corpus, m, r))
+    assert got == want
