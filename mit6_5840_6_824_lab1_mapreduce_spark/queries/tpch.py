@@ -288,3 +288,39 @@ def brand_quantity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("brand"))
         .limit(10)
     )
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle=r"""
+    WITH spend AS (
+      SELECT o_custkey,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT o_custkey, total_spend,
+             ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT quartile, count(*) AS n_customers,
+           round(CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS quartile_spend
+    FROM q GROUP BY quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window over a global ordering: customers ranked into
+    spend quartiles, then per-quartile totals. The tie-broken ORDER BY
+    makes ntile deterministic; the global sort is one row per
+    customer (already aggregated), so the single-partition window is
+    bounded at any scale."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(sum_money("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        sum_money("total_spend", "quartile_spend"),
+    )
