@@ -222,3 +222,45 @@ def test_watermark_closes_windows_exactly_once(spark, tmpdir):
     # bounded state: only the open window survives in the state store
     final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state == 1
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmpdir):
+    """K4 durability analog: a restarted stream with the same
+    checkpoint processes only NEW files — no reprocessing, no
+    double-counting (exactly-once across restarts)."""
+    import pyspark.sql.functions as SF
+
+    df0 = spark.range(5).select(SF.col("id").cast("string").alias("key"),
+                                SF.lit("1").alias("value"))
+    df0.write.parquet(f"{tmpdir}/in/batch0")
+
+    def run_once():
+        src = spark.readStream.schema("key string, value string").parquet(
+            f"{tmpdir}/in/*"
+        )
+        agg = src.groupBy("key").agg(SF.count("*").alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("restarted")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmpdir}/ckpt-restart")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    q1 = run_once()
+    n1 = q1.recentProgress[-1]["numInputRows"] if q1.recentProgress else 0
+    assert n1 == 5
+
+    # restart with one new file: only its rows are read
+    df1 = spark.range(3).select(SF.col("id").cast("string").alias("key"),
+                                SF.lit("1").alias("value"))
+    df1.write.parquet(f"{tmpdir}/in/batch1")
+    q2 = run_once()
+    read_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert read_rows == 3  # batch0 NOT reprocessed
+
+    got = {r["key"]: r["n"] for r in spark.sql("SELECT * FROM restarted").collect()}
+    assert got["0"] == 2 and got["4"] == 1  # counts reflect both runs exactly once
