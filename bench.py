@@ -28,6 +28,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "sales_rollup",
+    "nation_trade_volume",
+    "monthly_return_share",
     "orders_top3_per_customer",
     "supplier_part_distinct_count",
     "events_hourly_agg",

@@ -324,3 +324,82 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         sum_money("total_spend", "quartile_spend"),
     )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=r"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DOUBLE), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade matrix. One fact-fact edge
+    (lineitem⋈orders); customer/supplier/nation all broadcast — the
+    plan has exactly one large shuffle at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.withColumnsRenamed({"n_nationkey": "c_nk", "n_name": "cust_nation"})
+    sn = n.withColumnsRenamed({"n_nationkey": "s_nk", "n_name": "supp_nation"})
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        F.count("*").alias("n_lines"),
+        sum_expr(disc_price(), "volume"),
+    )
+
+
+@query(
+    "monthly_return_share",
+    oracle=r"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 6) AS return_share,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio per month —
+    numerator and denominator in ONE pass (no self-join), exact
+    decimal sums so the ratio hashes identically across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.when(
+            F.col("l_returnflag") == "R", F.col("l_extendedprice").cast(MONEY)
+        ).otherwise(F.lit(0).cast(MONEY))
+    )
+    den = F.sum(F.col("l_extendedprice").cast(MONEY))
+    return li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "ship_month"
+        )
+    ).agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("return_share"),
+        F.count("*").alias("n_lines"),
+    )
