@@ -403,3 +403,38 @@ def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") / den.cast("double"), 6).alias("return_share"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "small_quantity_order_revenue",
+    oracle=r"""
+    SELECT l1.l_partkey,
+           round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem l1
+    WHERE l1.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+    )
+    GROUP BY l1.l_partkey
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) decorrelated into a window average over the same
+    partition key — one shuffle by partkey instead of a per-row
+    subquery; the oracle keeps the literal correlated form, proving
+    the decorrelation lossless."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
+    )
+    return flt.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )

@@ -264,3 +264,85 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmpdir):
 
     got = {r["key"]: r["n"] for r in spark.sql("SELECT * FROM restarted").collect()}
     assert got["0"] == 2 and got["4"] == 1  # counts reflect both runs exactly once
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Stream-stream inner join with event-time interval condition and
+    watermarks on both sides (the stateful join operator) must equal
+    the same join run in batch."""
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{tmpdir}/events.parquet")
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        pur = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, pur
+
+    cond = F.expr(
+        "c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+    )
+
+    ev_s = read_events_stream(spark, tmpdir)
+    cs, ps = sides(ev_s)
+    joined_s = cs.withWatermark("c_ts", "1 hour").join(
+        ps.withWatermark("p_ts", "1 hour"), cond
+    )
+    q = (
+        joined_s.select("c_id", "p_id")
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt-ssjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["c_id"], r["p_id"]) for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+
+    cb, pb = sides(table(spark, SF_SMOKE, "events"))
+    want = {(r["c_id"], r["p_id"]) for r in cb.join(pb, cond).select("c_id", "p_id").collect()}
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_streaming_dedup_within_watermark(spark, tmpdir):
+    """Streaming dropDuplicatesWithinWatermark: replayed duplicates
+    (same event_id in later files) are suppressed exactly-once."""
+    import pyspark.sql.functions as SF
+
+    base = spark.range(10).select(
+        SF.col("id").alias("event_id"),
+        SF.lit("2024-06-01 12:00:00").cast("timestamp").alias("ts"),
+    )
+    base.write.parquet(f"{tmpdir}/in/b0")
+    base.where(SF.col("event_id") < 4).write.parquet(f"{tmpdir}/in/b1")  # dupes
+
+    src = spark.readStream.schema("event_id long, ts timestamp").parquet(
+        f"{tmpdir}/in/*"
+    )
+    dedup = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt-sdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM sdedup").collect()
+    ids = [r["event_id"] for r in rows]
+    assert sorted(ids) == list(range(10))  # each id exactly once
