@@ -165,3 +165,32 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
+
+
+@query(
+    "events_props_json",
+    oracle=r"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column with a
+    typed schema (from_json — JVM-side, no Python), bucket by the
+    extracted field, aggregate. At scale, promote hot JSON fields to
+    columns at ingest; this query is the probe pattern for the long
+    tail that stays JSON."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "struct<k: bigint>").getField("k")
+    ).where(F.col("k").isNotNull())
+    return parsed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
