@@ -55,3 +55,20 @@ def test_partition_values_roundtrip(spark, outdir):
     ev.write.mode("overwrite").partitionBy("day").parquet(f"{outdir}/events")
     got = spark.read.parquet(f"{outdir}/events").count()
     assert got == ev.count()
+
+
+def test_ndjson_source_roundtrip(spark, outdir):
+    """Format coverage beyond parquet: events written as NDJSON read
+    back with an explicit schema must equal the parquet-sourced rows
+    (schema-on-read with no inference pass — required at scale)."""
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "user_id", "event_type", "value",
+    )
+    ev.write.mode("overwrite").json(f"{outdir}/ndjson")
+    back = spark.read.schema(
+        "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).json(f"{outdir}/ndjson")
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
