@@ -118,3 +118,29 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("f"),
     ).select("asset_id", "modality", "f.frame_idx", "f.frame")
+
+
+def resize_assets(assets: DataFrame, stride: int = 4) -> DataFrame:
+    """'Resize' over opaque payloads: deterministic 1-in-`stride` byte
+    downsample (the image-resize analog; a real resampler plugs into
+    this same mapInPandas slot). Output keeps the asset key, original
+    size, and the resized payload."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [bytes(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "orig_bytes": [len(c) for c in content],
+                    "resized": [c[::stride] for c in content],
+                }
+            )
+
+    return assets.mapInPandas(
+        run, schema="asset_id long, modality string, orig_bytes long, resized binary"
+    )

@@ -137,3 +137,36 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("feat_sum"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle=r"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           length(text) AS orig_bytes,
+           CAST(length(text) + 3 AS BIGINT) // 4 AS resized_bytes,
+           md5(array_to_string(
+                 list_transform(range(1, length(text) + 1, 4),
+                                i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_digest
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize slot of the decode pipeline: 1-in-4 byte downsample via
+    mapInPandas (Arrow batches; payloads never leave the executors),
+    verified by digest against a pure-SQL restatement. A real image
+    resampler drops into the same stage with the same schema."""
+    from ..operators.multimodal import assets_from_documents, resize_assets
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    r = resize_assets(assets, stride=4)
+    return r.select(
+        "asset_id",
+        "modality",
+        "orig_bytes",
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+        F.md5("resized").alias("resized_digest"),
+    )
