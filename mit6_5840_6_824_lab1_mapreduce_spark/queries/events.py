@@ -194,3 +194,74 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_value"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle=r"""
+    WITH s AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS s_ts
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts
+        AND e.ts <= s.s_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                WHEN c.c_ts IS NOT NULL THEN 2
+                WHEN s.s_ts IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           count(*) AS n_users
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click within 24h of signup →
+    first purchase within 24h of that click; users counted at their
+    deepest stage. Three conditional-min aggregations + two joins,
+    all hashed on user_id — the per-stage ordering constraint never
+    needs a sort or a self-theta-join, and each stage's events are
+    filtered before the join ships them."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    staged = (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("s_ts").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage")
+        )
+    )
+    return staged.groupBy("funnel_stage").agg(F.count("*").alias("n_users"))
