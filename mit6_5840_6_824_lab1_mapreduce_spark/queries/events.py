@@ -265,3 +265,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("funnel_stage").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "events_weekly_retention",
+    oracle=r"""
+    WITH firstseen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM firstseen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in every later week they were active. First-seen is an
+    aggregate (no sort/window); the activity dedup keys on
+    (user, week) so its partial aggregation collapses duplicates
+    map-side before the shuffle. Both engines truncate weeks to
+    Monday, so offsets are exact multiples of 7 days."""
+    ev = table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firstseen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -9,6 +9,7 @@ constant embedded in both the Spark plan and the oracle SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..plans import table
@@ -201,4 +202,45 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(7)
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=r"""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    SELECT label, pos,
+           round(sum(CAST(round(v * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6)
+             AS centroid_v,
+           count(*) AS n_points
+    FROM ex GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted as
+    (label, dimension, value) rows. Components are int64-quantized
+    (round(x·10⁶)) before summing so the mean is an exact integer sum
+    divided last — order- and engine-independent. posexplode keeps it
+    JVM-side; the shuffle key (label, pos) spreads a 100 TB corpus's
+    64-way-wider exploded table evenly across the cluster; this is the
+    k-means/IVF-training centroid step."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    )
+    q = F.round(F.col("v") * S.SCALE, 0).cast("long")
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(q) / F.lit(float(S.SCALE)) / F.count("*"), 6
+            ).alias("centroid_v"),
+            F.count("*").alias("n_points"),
+        )
     )

@@ -438,3 +438,209 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0, 2
         ).alias("avg_yearly")
     )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle=r"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    max-revenue supplier(s). The scalar MAX subquery becomes a
+    broadcast join against a 1-row aggregate of the (already tiny,
+    one row per supplier) revenue table — no second scan of
+    lineitem, no single-partition window. Comparison happens on the
+    rounded value on both sides so ties are engine-independent."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy("l_suppkey").agg(sum_expr(disc_price(), "total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+    )
+
+
+@query(
+    "waiting_orders_suppliers",
+    oracle=r"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name AS name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, name ASC
+    LIMIT 10
+    """,
+)
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >60 days after the
+    order date, since this lineitem has no receipt/commit dates):
+    suppliers who were the ONLY late supplier on a multi-supplier
+    finished order. The EXISTS / NOT EXISTS pair is decorrelated into
+    one per-order aggregate — n_supp = distinct suppliers, n_late_supp
+    = distinct late suppliers — then a late line qualifies iff
+    n_supp > 1 AND n_late_supp = 1. One groupBy(orderkey) + one
+    co-partitioned join back replaces two correlated self-joins; at
+    100 TB that is 2 shuffles on the same key (AQE reuses the
+    exchange) instead of 3 self-join shuffles."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late = lines.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier")
+    qualifying = late.join(per_order, "l_orderkey").where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(10)
+    )
+
+
+@query(
+    "inactive_rich_customers",
+    oracle=r"""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: "inactive" = no orders since 1999,
+    since every customer here has some order): per-nation count and
+    balance of above-average-balance customers with no recent orders.
+    The scalar AVG subquery is a broadcast 1-row cross join (exact
+    decimal sum / count, so the threshold double is engine-identical);
+    the NOT EXISTS is a left_anti join against the date-pruned orders
+    scan — the predicate reaches the parquet reader, so at scale the
+    anti-join build side is only the recent slice."""
+    c = table(spark, sf_dir, "customer")
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count("*")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("numcust"),
+        sum_money("c_acctbal", "totacctbal"),
+    )
+
+
+@query(
+    "order_price_percentiles",
+    oracle=r"""
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (median + p90) of order
+    value per priority — Spark's exact `percentile` (sort-based within
+    group), matching DuckDB quantile_cont. Exact percentiles shuffle
+    whole groups; for 100 TB dashboards swap in approx_percentile
+    (t-digest sketch, map-side combinable) — kept exact here because
+    the oracle hash-compares values."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "orders_hash_sample",
+    oracle=r"""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 hash sample: keep rows whose md5(key) leads
+    with '0', then aggregate. Unlike rand()-based sampling this is
+    reproducible across engines, runs, and partitionings — the right
+    primitive for sampled data-quality checks on a 100 TB table (the
+    filter is embarrassingly parallel, no shuffle added)."""
+    o = table(spark, sf_dir, "orders")
+    sampled = o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1)
+        == "0"
+    )
+    return sampled.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        sum_money("o_totalprice", "sum_price"),
+    )
