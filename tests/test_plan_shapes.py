@@ -84,3 +84,39 @@ def test_exists_compiles_to_semi_join(spark):
     plan = _plan(spark, "late_shipment_priority")
     assert "LeftSemi" in plan
     assert "PushedFilters" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With broadcast disabled (as it would be for a fact⋈large-dim
+    join at 100 TB), the runtime Bloom filter from the selective
+    build side must be injected into the probe-side scan — rows that
+    cannot join are dropped before the shuffle."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").where(
+            F.col("p_brand") == "Brand#13"
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # probe side pre-filtered
+        assert "bloom_filter_agg" in plan  # built from the pruned dim
+        with_bloom = j.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").where(
+        F.col("p_brand") == "Brand#13"
+    )
+    no_bloom = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count().collect()
+    assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, no_bloom))

@@ -1,0 +1,140 @@
+"""MERGE/upsert via dynamic partition overwrite: correctness
+(update-wins, insert, untouched rows survive) + the scale invariant
+that only the touched partitions' files are rewritten."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.upsert import merge_upsert
+from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def target(spark):
+    d = tempfile.mkdtemp(prefix="mrmerge-")
+    path = f"{d}/events"
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    yield path
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _partition_files(path):
+    return {
+        day: sorted(
+            os.path.basename(f) for f in glob.glob(f"{path}/day={day}/*.parquet")
+        )
+        for day in (os.path.basename(p).split("=", 1)[1] for p in glob.glob(f"{path}/day=*"))
+    }
+
+
+def test_merge_upsert_semantics_and_partition_footprint(spark, target):
+    # partition values read back DATE-typed (partition type inference);
+    # keep everything string-typed to match directory names
+    before = (
+        spark.read.parquet(target)
+        .withColumn("day", F.col("day").cast("string"))
+        .cache()
+    )
+    days = sorted(r[0] for r in before.select("day").distinct().collect())
+    touched_days = days[:2]
+    untouched_days = days[2:]
+    assert untouched_days, "smoke table must span >2 days"
+
+    # one real update (existing event_id, changed value) per touched
+    # day + one brand-new event_id per touched day
+    existing = (
+        before.where(F.col("day").isin(touched_days))
+        .groupBy("day")
+        .agg(F.min("event_id").alias("event_id"))
+        .join(before, ["day", "event_id"])
+        .select("event_id", "user_id", "event_type", "value", "day")
+    )
+    updates = existing.withColumn("value", F.lit(12345.0)).unionByName(
+        existing.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "user_id",
+            F.lit("merged").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            "day",
+        )
+    )
+    n_before = before.count()
+    files_before = _partition_files(target)
+
+    touched = merge_upsert(
+        spark, target, updates, key_cols=["event_id"], partition_col="day"
+    )
+    assert sorted(str(t) for t in touched) == touched_days
+
+    after = spark.read.parquet(target)
+    # inserts: one new key per touched day
+    assert after.count() == n_before + len(touched_days)
+    # updates won: the existing keys now carry the new value
+    got = (
+        after.join(existing.select("event_id"), "event_id")
+        .select("value")
+        .distinct()
+        .collect()
+    )
+    assert [r[0] for r in got] == [12345.0]
+    # new keys present with their payload
+    assert after.where(F.col("event_type") == "merged").count() == len(touched_days)
+
+    # footprint: untouched partitions' files are byte-identical names
+    files_after = _partition_files(target)
+    for day in untouched_days:
+        assert files_after[day] == files_before[day]
+    for day in touched_days:
+        assert files_after[day] != files_before[day]
+    before.unpersist()
+
+
+def test_merge_upsert_batch_internal_precedence(spark, target):
+    # duplicate key within one batch: order_col picks the winner
+    row = (
+        spark.read.parquet(target)
+        .withColumn("day", F.col("day").cast("string"))
+        .orderBy("event_id")
+        .limit(1)
+        .select("event_id", "user_id", "event_type", "value", "day")
+        .collect()[0]
+    )
+    one = spark.createDataFrame([row.asDict()], "event_id long, user_id long, event_type string, value double, day string")
+    dup = one.withColumn("value", F.lit(1.0)).withColumn(
+        "seq", F.lit(1)
+    ).unionByName(
+        one.withColumn("value", F.lit(2.0)).withColumn("seq", F.lit(2))
+    )
+    merge_upsert(
+        spark,
+        target,
+        dup,
+        key_cols=["event_id"],
+        partition_col="day",
+        order_col="seq",
+    )
+    key = row["event_id"]
+    got = (
+        spark.read.parquet(target)
+        .where(F.col("event_id") == key)
+        .select("value")
+        .collect()
+    )
+    assert len(got) == 1 and got[0][0] == 2.0
