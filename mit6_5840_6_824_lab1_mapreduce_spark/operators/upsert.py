@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for file:, hdfs:, s3a: URIs)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -52,11 +60,19 @@ def merge_upsert(
     if not touched:
         return touched
 
-    target_slice = (
-        spark.read.parquet(target_path)
-        .where(F.col(partition_col).isin(touched))
-        .withColumn("_src", F.lit(0))
-    )
+    if not _table_exists(spark, target_path):
+        # first batch of a streaming sink: nothing to merge against —
+        # still dedupe within the batch, then create the table
+        target_schema = updates.schema
+        target_slice = spark.createDataFrame([], target_schema).withColumn(
+            "_src", F.lit(0)
+        )
+    else:
+        target_slice = (
+            spark.read.parquet(target_path)
+            .where(F.col(partition_col).isin(touched))
+            .withColumn("_src", F.lit(0))
+        )
     out_cols = [c for c in target_slice.columns if c != "_src"]
     batch = updates.withColumn("_src", F.lit(1))
     order = [F.desc("_src")] + ([F.desc(order_col)] if order_col else [])

@@ -310,3 +310,96 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "events_counts_unpivot",
+    oracle=r"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(['click','error','purchase','signup','view'])
+            AS event_type),
+    c AS (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id, 'n_' || t.event_type AS metric,
+           COALESCE(c.n, 0) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+def events_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot roundtrip: the wide per-user count matrix
+    melted back to long form (user, metric, n), zero cells included.
+    Exercises Spark's unpivot operator (Expand node — no shuffle on
+    top of the pivot aggregation); the oracle builds the dense long
+    form directly from a user × type spine."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in types],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@query(
+    "events_weekly_purchase_gapfill",
+    oracle=r"""
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS week,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(week) AS w0, max(week) AS w1 FROM wk GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(w0, w1, INTERVAL 7 DAY)) AS week
+      FROM span
+    )
+    SELECT s.user_id, strftime(s.week, '%Y-%m-%d') AS week,
+           round(CAST(COALESCE(wk.v, 0) AS DOUBLE), 2) AS sum_value
+    FROM spine s LEFT JOIN wk ON wk.user_id = s.user_id
+                             AND wk.week = s.week
+    """,
+)
+def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: weekly purchase totals per user with
+    explicit zero rows for silent weeks between the user's first and
+    last active week. The calendar spine comes from sequence() +
+    explode — generated from the per-user span aggregate (tiny), never
+    from a driver loop; the join back to the weekly sums is
+    co-partitioned on user_id."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wk = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    span = wk.groupBy("user_id").agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("w0", "w1", F.expr("INTERVAL 7 DAYS"))
+        ).alias("week"),
+    )
+    return (
+        spine.join(wk, ["user_id", "week"], "left")
+        .select(
+            "user_id",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.round(
+                F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_value"),
+        )
+    )

@@ -6,7 +6,7 @@ int-derived doubles rounded to 6dp for cross-engine stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
@@ -235,5 +235,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("content_hash"),
             F.coalesce("sketch", F.lit("")).alias("sketch"),
             roll.alias("roll_hash"),
+        )
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+               AS rn
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df,
+           round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM ranked, n
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf,
+    ln((N+1)/(df+1))+1, sklearn-style). Ranking is on the integer
+    triple (tf desc, df asc, token) — never on the float score — so
+    the cut is engine-exact; tfidf is emitted rounded. Plan: explode →
+    two hash aggregations (doc,token) then (token) → token-keyed join
+    → per-doc window. At 100 TB the df table is the only global
+    structure and it's orders of magnitude smaller than the corpus;
+    N comes from a broadcast 1-row aggregate, not a driver collect."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[\p{L}]+"), 0)
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
         )
     )

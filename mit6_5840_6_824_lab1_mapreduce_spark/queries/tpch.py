@@ -644,3 +644,40 @@ def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         sum_money("o_totalprice", "sum_price"),
     )
+
+
+@query(
+    "customer_order_cadence",
+    oracle=r"""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(date_diff('day', lag(o_orderdate)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           round(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+             AS price_pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+             AS price_cume_dist
+    FROM orders
+    """,
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: inter-order gap (lag) on
+    the date ordering plus percent_rank/cume_dist on the price
+    ordering, both per customer. Two orderings over the same
+    partition key → one shuffle by custkey, two in-partition sorts;
+    rank fractions are exact rationals so they hash identically."""
+    o = table(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w_date))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+    )

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from mit6_5840_6_824_lab1_mapreduce_spark.operators.upsert import merge_upsert
 from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+from mit6_5840_6_824_lab1_mapreduce_spark.streaming.merge_sink import (
+    stream_merge_to_table,
+)
 
 from .conftest import SF_SMOKE
 
@@ -138,3 +141,63 @@ def test_merge_upsert_batch_internal_precedence(spark, target):
         .collect()
     )
     assert len(got) == 1 and got[0][0] == 2.0
+
+
+def test_stream_merge_sink_converges(spark):
+    """Two waves of files streamed (maxFilesPerTrigger=1): wave 2
+    updates half of wave 1's keys and adds new ones. The final table
+    must equal the batch-computed last-writer-wins state."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="mrstreammerge-")
+    src, target, ckpt = f"{d}/src", f"{d}/table", f"{d}/ckpt"
+    try:
+        ev = (
+            table(spark, SF_SMOKE, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            )
+            .orderBy("event_id")
+            .limit(40)
+            .cache()
+        )
+        wave1 = ev
+        wave2 = ev.limit(20).withColumn("value", F.lit(777.0)).unionByName(
+            ev.limit(10).select(
+                (F.col("event_id") + 5_000_000).alias("event_id"),
+                "user_id",
+                F.lit("inserted").alias("event_type"),
+                F.lit(9.0).alias("value"),
+                "day",
+            )
+        )
+        wave1.coalesce(1).write.parquet(f"{src}/w1")
+        time.sleep(1.1)  # distinct mtimes → file-source batch order
+        wave2.coalesce(1).write.parquet(f"{src}/w2")
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "value double, day string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = stream_merge_to_table(
+            stream, target, key_cols=["event_id"], partition_col="day",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(target)
+        expected_n = wave1.count() + 10  # 20 updates in place, 10 inserts
+        assert got.count() == expected_n
+        assert got.where(F.col("value") == 777.0).count() == 20
+        assert got.where(F.col("event_type") == "inserted").count() == 10
+        ev.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
