@@ -3,8 +3,8 @@
 Reference semantics (src/kvraft/KVMachine.go:7-28, server.go:128-134):
   - Put(key, v): last-writer-wins overwrite
   - Append(key, v): string concatenation, creates if absent
-  - exactly-once: an op whose (client_id, request_id) was already
-    applied is suppressed (request_id monotone per client)
+  - exactly-once: an op with request_id ≤ the client's running
+    high-water mark is suppressed (server.go:128-134)
   - Get: non-mutating; ErrNoKey → "" at the client
 
 Raft's commit order is modeled by an explicit ``seq`` column. The
@@ -25,17 +25,28 @@ from pyspark.sql import functions as F
 
 
 def dedup_ops(ops: DataFrame) -> DataFrame:
-    """K5: keep the first committed occurrence of each
-    (client_id, request_id) among mutating ops; Gets pass through
-    (the reference tracks only PutAppend ids, server.go:186-199)."""
+    """K5: suppress any mutating op whose request_id is ≤ the client's
+    running high-water mark at commit time — the reference keeps
+    ``lastRequestId[clientId]`` and drops ops at or below it
+    (src/kvraft/server.go:128-134), which on a log with regressing ids
+    (a stale retry committing after a newer request) drops MORE than
+    per-(client, request) first-occurrence would. Gets pass through
+    (only PutAppend ids are tracked, server.go:186-199).
+
+    One window shuffle on client_id; the high-water mark is a running
+    max over preceding commits, so no state leaves the executors."""
     muts = ops.where(F.col("op") != "Get")
-    w = Window.partitionBy("client_id", "request_id").orderBy("seq")
-    first = (
-        muts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    w = (
+        Window.partitionBy("client_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return first
+    hw = F.max("request_id").over(w)
+    return (
+        muts.withColumn("_hw", hw)
+        .where(F.col("_hw").isNull() | (F.col("request_id") > F.col("_hw")))
+        .drop("_hw")
+    )
 
 
 def replay_final_state(ops: DataFrame) -> DataFrame:

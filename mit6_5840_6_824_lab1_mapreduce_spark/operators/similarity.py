@@ -137,69 +137,62 @@ def lsh_ann_topk(
     )
 
 
-def embedding_near_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+def embedding_near_pairs(
+    emb: DataFrame, threshold: float = 0.45, block_size: int = 512
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above `threshold` —
-    exact all-pairs baseline.
+    exact all-pairs baseline as a DISTRIBUTED block join. Nothing is
+    collected to the driver; the whole plan is JVM-side codegen.
 
-    Implementation: block matrix product. The quantized table is
-    broadcast as one int64 matrix (B); each partition of the same
-    table streams through a mapInPandas stage computing A_block @ B.T
-    with numpy (exact int64 — identical values to any other exact
-    evaluation order). The numpy stage prefilters with a small slack;
-    the authoritative cosine + round + threshold happens JVM-side so
-    results are bit-identical to the SQL restatement.
+    Shape (block matrix product as DataFrame algebra):
+      block(i) = vec_id div block_size
+      bp       = {(ba, bb) | ba ≤ bb}          # tiny block-pair table
+      pairs    = A ⋈ bp on ba  ⋈  B on bb      # two equi-joins
+                 where id_a < id_b
+    bp (k²/2 rows, k = n/B) is always broadcast; the B-side join is a
+    plain equi-join on the block id — broadcast while the table fits,
+    shuffle-on-block-id beyond that. Each task scores a stream of
+    A-rows against hash-built B-blocks, i.e. bounded B×B tiles of the
+    product; no pair ever materializes outside a pipelined join
+    stream. Row replication is O(n²/B) — inherent to exact all-pairs;
+    past ~10⁵ vectors use `lsh_near_pairs` (bucket equi-join,
+    sub-quadratic).
 
-    Scale: exact all-pairs is O(n²·d) no matter the engine — this
-    shape (broadcast block × streamed blocks) is how you'd run it up
-    to ~10⁵ vectors; beyond that use `lsh_near_pairs` (bucket
-    equi-join, sub-quadratic)."""
-    import numpy as np
-    import pandas as pd
-
+    cosine = round(dot/(√na·√nb), 6) from int64-quantized vectors —
+    exact integers until the final division, so results are
+    bit-identical to the SQL restatement."""
     v = embeddings_quantized(emb)
-    spark = emb.sparkSession
-    rows = v.select("vec_id", "q").collect()  # bench scale: n·d int64s
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["q"] for r in rows], dtype=np.int64)
-    n2 = (mat * mat).sum(axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_n2 = spark.sparkContext.broadcast(n2)
-    slack = max(threshold - 1e-5, 0.0)
-
-    def block(batches):
-        B_ids, B, B_n2 = b_ids.value, b_mat.value, b_n2.value
-        for pdf in batches:
-            A = np.array(list(pdf["q"]), dtype=np.int64)
-            A_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            dots = A @ B.T  # exact int64
-            A_n2 = (A * A).sum(axis=1)
-            denom = np.sqrt(A_n2.astype(np.float64))[:, None] * np.sqrt(
-                B_n2.astype(np.float64)
-            )[None, :]
-            cos = dots / denom
-            ai, bi = np.nonzero((cos >= slack) & (A_ids[:, None] < B_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": A_ids[ai],
-                    "id_b": B_ids[bi],
-                    "dot": dots[ai, bi],
-                    "na": A_n2[ai],
-                    "nb": B_n2[bi],
-                }
-            )
-
-    cand = v.select("vec_id", "q").mapInPandas(
-        block, schema="id_a long, id_b long, dot long, na long, nb long"
+    blk = (F.col("vec_id") / block_size).cast("long")
+    # Local-testdata note: embeddings ship as one parquet file → a
+    # 1-partition scan; spread the probe side so the tile scoring
+    # parallelizes (no-op cost on a real multi-file corpus).
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        blk.alias("ba"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+    ).repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        blk.alias("bb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    blocks = v.select(blk.alias("blk")).distinct()
+    bp = (
+        blocks.alias("x")
+        .join(F.broadcast(blocks.alias("y")), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
+    )
+    cand = (
+        a.join(F.broadcast(bp), "ba")
+        .join(b, "bb")
+        .where(F.col("id_a") < F.col("id_b"))
     )
     return cand.select(
         "id_a",
         "id_b",
-        F.round(
-            F.col("dot")
-            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-            6,
-        ).alias("cos"),
+        cosine(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias("cos"),
     ).where(F.col("cos") >= threshold)
 
 

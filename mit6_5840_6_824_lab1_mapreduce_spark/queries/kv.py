@@ -13,7 +13,7 @@ from ``events`` (identical arithmetic on both engines):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.kv import dedup_ops, replay_final_state
@@ -49,16 +49,19 @@ def ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kv_final_state",
-    oracle=rf"""
-    WITH ops AS ({_OPS_SQL}),
+def _replay_sql(ops_cte: str) -> str:
+    """DuckDB restatement of replay_final_state over an ops CTE body:
+    high-water dedup (server.go:128-134) → last Put per key → deduped
+    Appends after it, concatenated in commit order."""
+    return rf"""
+    WITH ops AS ({ops_cte}),
     muts AS (
       SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY client_id, request_id
-                                     ORDER BY seq) AS rn
+        SELECT *, max(request_id) OVER (
+                    PARTITION BY client_id ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
         FROM ops WHERE op <> 'Get'
-      ) WHERE rn = 1
+      ) WHERE hw IS NULL OR request_id > hw
     ),
     last_put AS (
       SELECT key, max(seq) FILTER (WHERE op = 'Put') AS put_seq
@@ -79,8 +82,10 @@ def ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM last_put lp
     LEFT JOIN base b ON lp.key = b.key
     LEFT JOIN appended a ON lp.key = a.key
-    """,
-)
+    """
+
+
+@query("kv_final_state", oracle=_replay_sql(_OPS_SQL))
 def kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K5: final state after exactly-once replay of the derived op
     log. Scales as two shuffles (dedup window, per-key agg); no state
@@ -89,21 +94,68 @@ def kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kv_get_at_seq",
+    oracle=_replay_sql(
+        rf"""
+      SELECT * FROM ({_OPS_SQL})
+      WHERE seq <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
+    """
+    ),
+)
+def kv_get_at_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 linearizable read at a log position: the reference serves a
+    Get at the Raft index where it commits (src/kvraft/server.go:52-81,
+    176-185) — restated as replay of the op-log PREFIX seq ≤ S, here
+    S = floor(max(seq)/2) computed in-plan (scalar agg broadcast; no
+    driver round-trip). A single-key Get is a filter on this state;
+    emitting every key's value at S keeps the query set-valued.
+    Same two shuffles as kv_final_state, on half the log."""
+    ops = ops_from_events(spark, sf_dir)
+    thr = ops.agg(F.floor(F.max("seq") / 2).cast("long").alias("_thr"))
+    prefix = (
+        ops.join(F.broadcast(thr))
+        .where(F.col("seq") <= F.col("_thr"))
+        .drop("_thr")
+    )
+    return replay_final_state(prefix)
+
+
+@query(
     "kv_duplicate_suppression",
     oracle=rf"""
-    WITH ops AS ({_OPS_SQL})
+    WITH ops AS ({_OPS_SQL}),
+    marked AS (
+      SELECT client_id,
+             CASE WHEN max(request_id) OVER (
+                    PARTITION BY client_id ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= request_id
+                  THEN 1 ELSE 0 END AS suppressed
+      FROM ops WHERE op <> 'Get'
+    )
     SELECT client_id,
            count(*) AS n_ops,
-           count(*) - count(DISTINCT request_id) AS n_suppressed
-    FROM ops WHERE op <> 'Get'
-    GROUP BY client_id
+           CAST(sum(suppressed) AS BIGINT) AS n_suppressed
+    FROM marked GROUP BY client_id
     """,
 )
 def kv_duplicate_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 observability: per client, how many mutating ops were
-    retries (duplicate request ids) vs applied."""
+    """K5 observability: per client, how many mutating ops the
+    high-water rule suppresses (request_id ≤ running max over
+    preceding commits — the reference's lastRequestId check,
+    server.go:128-134) vs applied."""
     ops = ops_from_events(spark, sf_dir).where(F.col("op") != "Get")
-    return ops.groupBy("client_id").agg(
+    w = (
+        Window.partitionBy("client_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = F.max("request_id").over(w)
+    marked = ops.select(
+        "client_id",
+        F.when(hw >= F.col("request_id"), 1).otherwise(0).alias("suppressed"),
+    )
+    return marked.groupBy("client_id").agg(
         F.count("*").alias("n_ops"),
-        (F.count("*") - F.countDistinct("request_id")).alias("n_suppressed"),
+        F.sum("suppressed").cast("long").alias("n_suppressed"),
     )

@@ -82,3 +82,52 @@ def test_replay_matches_reference_model_seeds(spark, seed):
     df = spark.createDataFrame(ops, schema=SCHEMA)
     got = {r["key"]: r["value"] for r in replay_final_state(df).collect()}
     assert got == replay_python_model(ops)
+
+
+def test_regressing_request_id_dropped_high_water(spark):
+    """A stale retry whose request_id is BELOW the client's high-water
+    mark when it commits must be dropped (server.go:128-134), not kept
+    as a 'first occurrence' of that id. Round-1 verdict K5 fix."""
+    ops = [
+        (1, 1, 5, "Append", "k", "a"),  # applied, hw(client 1) = 5
+        (2, 1, 3, "Append", "k", "z"),  # stale retry, 3 ≤ 5 → dropped
+        (3, 1, 6, "Append", "k", "b"),  # applied
+        (4, 2, 1, "Append", "k", "c"),  # other client unaffected
+        (5, 2, 1, "Append", "k", "c"),  # exact duplicate → dropped
+    ]
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    state = replay_final_state(df)
+    assert lookup(state, "k") == "abc"
+    assert replay_python_model(ops) == {"k": "abc"}
+
+
+def _gen_ops_regressing(n: int, seed: int) -> list[tuple]:
+    """Op log with out-of-order clerk retries: occasionally a stale op
+    (request_id below the client's current max) commits late."""
+    rng = random.Random(seed)
+    ops, seq = [], 0
+    next_req = {c: 0 for c in range(5)}
+    for _ in range(n):
+        c = rng.randrange(5)
+        op = rng.choice(["Put", "Append", "Append", "Get"])
+        key = f"k{rng.randrange(8)}"
+        val = None if op == "Get" else str(rng.randrange(100))
+        if op != "Get":
+            if next_req[c] > 2 and rng.random() < 0.2:
+                rid = rng.randrange(next_req[c])  # regressing stale retry
+            else:
+                rid = next_req[c]
+                next_req[c] += 1
+            ops.append((seq, c, rid, op, key, val))
+        else:
+            ops.append((seq, c, next_req[c], op, key, val))
+        seq += 1
+    return ops
+
+
+@pytest.mark.parametrize("seed", [7, 23, 71])
+def test_replay_matches_model_on_regressing_ids(spark, seed):
+    ops = _gen_ops_regressing(300, seed=seed)
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    got = {r["key"]: r["value"] for r in replay_final_state(df).collect()}
+    assert got == replay_python_model(ops)

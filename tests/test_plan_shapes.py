@@ -86,6 +86,27 @@ def test_exists_compiles_to_semi_join(spark):
     assert "PushedFilters" in plan
 
 
+def test_embedding_cosine_all_pairs_is_distributed(spark):
+    """The exact all-pairs cosine query must be a distributed block
+    join: no driver-side collect of the vector table, no Python
+    stage, no cartesian — two equi-joins with the tiny block-pair
+    table broadcast. (Round-1 verdict flagged a collect()+broadcast
+    numpy product here; this pins the fix.)"""
+    import inspect
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators import similarity as S
+
+    # the operator itself must not materialize anything driver-side
+    src = inspect.getsource(S.embedding_near_pairs)
+    assert ".collect()" not in src and "toPandas" not in src
+
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "MapInPandas" not in plan  # all JVM-side
+    assert "LocalTableScan" not in plan  # no re-parallelized driver data
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # block-pair table broadcast
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     """With broadcast disabled (as it would be for a fact⋈large-dim
     join at 100 TB), the runtime Bloom filter from the selective
