@@ -3,8 +3,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count() action (full evaluation, no
-driver-side result materialization beyond the row count).
+Each query is forced with a checksum aggregate over EVERY output
+column (bit_xor of xxhash64 across rows) — count() would let Catalyst
+prune unevaluated projection expressions, timing projection-heavy
+queries without their per-row work. One scalar returns to the driver.
 """
 
 from __future__ import annotations
@@ -75,11 +77,19 @@ def main() -> None:
         _noop, schema="id long"
     ).count()
 
+    from pyspark.sql import functions as F
+
+    def _force(df):
+        """Evaluate every output column: xxhash64 over all columns per
+        row, summed — nothing can be pruned, one scalar collected."""
+        h = df.select(F.xxhash64(*df.columns).alias("_h"))
+        return h.agg(F.bit_xor("_h")).collect()[0][0]
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

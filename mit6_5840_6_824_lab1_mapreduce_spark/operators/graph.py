@@ -72,6 +72,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: the result is a
+        # PARTIAL propagation, not components — callers on a deeper
+        # graph must not mistake it for converged output
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            "(diameter of the pair graph exceeds it)"
+        )
 
     singletons = (
         vertices.join(labels.select("id"), "id", "left_anti")

@@ -39,8 +39,25 @@ FEATURE_DIM = 8
 
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Demo asset table: document text as an opaque utf-8 payload with
-    typed metadata (stands in for image/audio bytes)."""
-    content = F.encode(F.col("text"), "UTF-8")
+    typed metadata (stands in for image/audio bytes).
+
+    ASCII contract, ENFORCED: the DuckDB oracles for these pipelines
+    slice/measure with char-based string functions, which equal the
+    Spark side's byte semantics only for single-byte text. A
+    non-ASCII document would silently desync n_bytes / frame
+    boundaries / resized digests, so any row where octet_length ≠
+    char length fails fast here. (Real binary payloads come from real
+    binary columns and never pass through this text stand-in.)"""
+    ascii_ok = F.octet_length(F.col("text")) == F.length(F.col("text"))
+    content = F.when(ascii_ok, F.encode(F.col("text"), "UTF-8")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("assets_from_documents: non-ASCII text in doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit("; char-based oracles require single-byte payload stand-ins"),
+            )
+        )
+    )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

@@ -85,7 +85,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is sf-proportional — no forced broadcast hint; AQE
+        # still broadcasts it at scales where it fits under the threshold
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -132,7 +134,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # sf-proportional: no hint
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -358,7 +360,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.withColumnsRenamed({"n_nationkey": "s_nk", "n_name": "supp_nation"})
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # sf-proportional
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))

@@ -9,7 +9,7 @@ Two subcommands:
   n_reduce partitions (S1→C1-C5→S4).
 - ``query <name> <sf_dir>``: run any registered analytics query from
   the engine's registry and print results (csv or json lines) —
-  ``query --list`` enumerates all 46.
+  ``query --list`` enumerates them all.
 
 The bare legacy form ``run wc 'pg-*.txt' out/`` still works.
 """

@@ -29,9 +29,17 @@ def stream_merge_to_table(
     partition_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Start a streaming query that upserts every micro-batch into
-    the parquet table at `target_path` (created on first batch)."""
+    the parquet table at `target_path` (created on first batch).
+
+    `order_col` (e.g. an event seq/ts, descending) picks the winner
+    among duplicate keys WITHIN a micro-batch. Without it that choice
+    would fall to an arbitrary row_number tie-break, which can differ
+    when a batch is replayed after a crash — breaking the idempotent
+    last-writer-wins convergence this sink promises. It is required
+    unless each batch is pre-deduplicated to one row per key."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert(
@@ -40,6 +48,7 @@ def stream_merge_to_table(
             batch_df,
             key_cols=key_cols,
             partition_col=partition_col,
+            order_col=order_col,
         )
 
     writer = stream.writeStream.foreachBatch(_merge).option(

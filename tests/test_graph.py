@@ -35,3 +35,15 @@ def test_components_long_chain_converges(spark):
     edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
     got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_components_unconverged_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, not
+    silently return partial propagation (round-1 advice)."""
+    import pytest
+
+    n = 12  # chain needs ~n rounds; max_iter=2 cannot finish
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=2)

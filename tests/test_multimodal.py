@@ -59,3 +59,20 @@ def test_frame_sample_covers_payload(assets):
     for row in assets.select("asset_id", "meta.n_bytes").collect():
         expected = max(row["n_bytes"] // 64, 1)
         assert n[row["asset_id"]] == expected
+
+
+def test_non_ascii_document_fails_fast(spark):
+    """The char-based SQL oracles only hold for single-byte text, so
+    the asset builder must reject non-ASCII payload stand-ins instead
+    of silently desyncing byte counts (round-1 advice)."""
+    import pytest
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        assets_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "café non-ascii")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-ASCII text in doc_id=2"):
+        assets_from_documents(docs).collect()

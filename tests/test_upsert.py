@@ -201,3 +201,38 @@ def test_stream_merge_sink_converges(spark):
         ev.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_merge_sink_order_col_resolves_intra_batch_dupes(spark):
+    """A micro-batch carrying several rows for the SAME key must
+    converge to the row with the highest order_col — deterministically,
+    so a crash-replayed batch produces the identical table (the
+    idempotence contract; round-1 advice flagged the unordered case)."""
+    d = tempfile.mkdtemp(prefix="mrstreammergeord-")
+    src, target, ckpt = f"{d}/src", f"{d}/table", f"{d}/ckpt"
+    try:
+        rows = [  # key k1: three contenders in ONE batch; seq 30 wins
+            (10, "k1", "v-seq10", "d1"),
+            (30, "k1", "v-seq30", "d1"),
+            (20, "k1", "v-seq20", "d1"),
+            (5, "k2", "only", "d2"),
+        ]
+        spark.createDataFrame(
+            rows, "seq long, key string, value string, day string"
+        ).coalesce(1).write.parquet(f"{src}/w1")
+
+        stream = (
+            spark.readStream.schema("seq long, key string, value string, day string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = stream_merge_to_table(
+            stream, target, key_cols=["key"], partition_col="day",
+            checkpoint_dir=ckpt, order_col="seq",
+        )
+        q.awaitTermination(120)
+
+        got = {r["key"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert got == {"k1": "v-seq30", "k2": "only"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
