@@ -110,9 +110,49 @@ def lsh_bands_df(sig: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+def oversized_buckets(
+    bands_df: DataFrame, max_bucket_size: int, keys: tuple[str, str] = ("band_idx", "band_hash")
+) -> DataFrame:
+    """Diagnostic companion to the bucket-capped candidate joins:
+    the buckets the cap would drop, with their sizes — run/log this
+    alongside a capped dedup job to audit what was skipped."""
+    return (
+        bands_df.groupBy(*keys)
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop rows in buckets larger than `max_bucket_size` before a
+    bucket self-join. A degenerate bucket of m rows creates m²/2
+    candidate pairs — one hot value (empty docs, boilerplate) can
+    dominate the whole job. The count-join shuffles on the SAME key
+    as the candidate join that follows, so it adds no new exchange
+    pattern.
+
+    RECALL CONTRACT: pairs whose only shared bucket is oversized are
+    lost. At dedup thresholds this is the standard trade — a bucket
+    that large is near-certainly a degenerate value, not real
+    near-duplicates; audit with `oversized_buckets`."""
+    if max_bucket_size is None:
+        return df
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    return (
+        df.join(sizes, keys)
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs sharing ≥1 band bucket. Equi-join on
-    (band_idx, band_hash) — shuffle by bucket, no cross product."""
+    (band_idx, band_hash) — shuffle by bucket, no cross product.
+    `max_bucket_size` guards the join against hot buckets (see
+    `_cap_buckets` for the recall contract)."""
+    bands_df = _cap_buckets(bands_df, ["band_idx", "band_hash"], max_bucket_size)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -162,6 +202,7 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: near-duplicate pairs above `threshold`
     Jaccard on word 3-gram shingles. Scales as three equi-joins —
@@ -175,7 +216,7 @@ def minhash_lsh_dedup_pairs(
     # you would checkpoint between pipeline stages.
     sh = shingle_pairs_df(docs, id_col, text_col).persist()
     sig = minhash_signature_df(sh)
-    cands = lsh_candidate_pairs(lsh_bands_df(sig))
+    cands = lsh_candidate_pairs(lsh_bands_df(sig), max_bucket_size=max_bucket_size)
     return jaccard_verified_pairs(cands, sh, threshold)
 
 
@@ -213,7 +254,9 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return per_doc.select("id", fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
     """Hamming-radius pairs via pigeonhole banding: split 32 bits into
     (max_hamming//8 + ... ) segments — with 4 8-bit segments any pair at
     hamming ≤ 6 (< 8? no: ≤ 3 guarantees a shared segment of 4; for
@@ -241,6 +284,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded = wide.select(
         "id", "simhash", F.expr(f"stack({n}, {stack}) as (seg_idx, seg_val)")
     )
+    banded = _cap_buckets(banded, ["seg_idx", "seg_val"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -99,6 +99,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_lsh_capped",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    bands_capped AS (
+      -- hot-bucket guard, restated: drop band buckets larger than 2
+      SELECT id, band_idx, band_hash FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        FROM bands
+      ) WHERE bsz <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands_capped a JOIN bands_capped b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup with the hot-bucket guard ACTIVE (bucket cap
+    2 — deliberately tight so the cap provably bites at test scale; a
+    production corpus would use 10³-10⁴). The oracle restates the same
+    cap with a window count, so the driver's compare pins the recall
+    contract exactly: pairs whose only shared bucket is oversized are
+    dropped, everything else is unchanged. Guards the candidate join
+    against degenerate buckets (boilerplate/empty docs) that would
+    generate m²/2 pairs from one hot value."""
+    return D.minhash_lsh_dedup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8, max_bucket_size=2
+    )
+
+
 _SIMHASH_SQL = r"""
   toks AS (
     SELECT doc_id AS id,
