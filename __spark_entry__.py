@@ -18,6 +18,32 @@ from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "wc_wordcount"
 
+# The driver's correctness run caps at 50 queries, taken in dict order.
+# Front-load the families that have not yet appeared in a driver
+# CORRECTNESS file (text_*, multimodal_*, embedding_label_centroids)
+# so every registered query gets hard-signal coverage across rounds;
+# long-stable rows (green in r01+r02) rotate to the back of the window.
+_PRIORITY = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "multimodal_asset_meta",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "embedding_label_centroids",
+    "similarity_ann_multiprobe",
+    "similarity_lsh_near_pairs",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in _PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in _PRIORITY]
+    return front + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (A1 word count — the reference's namesake job)
@@ -26,8 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.fn for name, e in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

@@ -43,6 +43,8 @@ HEADLINE = [
     "kv_final_state",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_components",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
@@ -81,7 +83,9 @@ def main() -> None:
 
     def _force(df):
         """Evaluate every output column: xxhash64 over all columns per
-        row, summed — nothing can be pruned, one scalar collected."""
+        row, xor-folded — nothing can be pruned, one scalar collected.
+        (XOR cancels rows whose hash repeats an even number of times,
+        so the scalar is a forcing device, not a cross-run checksum.)"""
         h = df.select(F.xxhash64(*df.columns).alias("_h"))
         return h.agg(F.bit_xor("_h")).collect()[0][0]
 

@@ -45,46 +45,51 @@ def connected_components(
     # executors; the driver only ever sees the scalar `changed` count.
     labels = active.select("id", F.col("id").alias("component")).localCheckpoint()
 
-    for _ in range(max_iter):
-        # each vertex's candidate label: min over its neighbors' labels
-        neighbor_min = (
-            adj.join(labels, adj.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+    changed = -1  # sentinel: max_iter=0 reaches the for-else with no rounds run
+    try:
+        for _ in range(max_iter):
+            # each vertex's candidate label: min over its neighbors' labels
+            neighbor_min = (
+                adj.join(labels, adj.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # exhausted max_iter with labels still moving: the result is a
-        # PARTIAL propagation, not components — callers on a deeper
-        # graph must not mistake it for converged output
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter "
-            "(diameter of the pair graph exceeds it)"
-        )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # exhausted max_iter with labels still moving: the result is
+            # a PARTIAL propagation, not components — callers on a deeper
+            # graph must not mistake it for converged output
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iter (diameter of the pair graph exceeds it)"
+            )
 
-    singletons = (
-        vertices.join(labels.select("id"), "id", "left_anti")
-        .select("id", F.col("id").alias("component"))
-    )
-    adj.unpersist()
-    return labels.unionByName(singletons)
+        singletons = (
+            vertices.join(labels.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("component"))
+        )
+        return labels.unionByName(singletons)
+    finally:
+        # runs on the non-convergence raise too — the persisted
+        # adjacency table must not outlive the call
+        adj.unpersist()

@@ -137,8 +137,14 @@ def lsh_ann_topk(
     )
 
 
+MAX_EXACT_ROWS = 100_000
+
+
 def embedding_near_pairs(
-    emb: DataFrame, threshold: float = 0.45, block_size: int = 512
+    emb: DataFrame,
+    threshold: float = 0.45,
+    block_size: int = 512,
+    max_rows: int = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above `threshold` —
     exact all-pairs baseline as a DISTRIBUTED block join. Nothing is
@@ -160,8 +166,34 @@ def embedding_near_pairs(
 
     cosine = round(dot/(√na·√nb), 6) from int64-quantized vectors —
     exact integers until the final division, so results are
-    bit-identical to the SQL restatement."""
+    bit-identical to the SQL restatement.
+
+    The ~10⁵-vector contract is ENFORCED, not advisory: a broadcast
+    1-row count guard raises in-plan when the input exceeds
+    ``max_rows`` (no eager driver-side count — the check runs inside
+    the same job), telling the caller to use `lsh_near_pairs`."""
     v = embeddings_quantized(emb)
+    # In-plan size gate: one tiny aggregate, broadcast as a single
+    # row; the filter on _gate keeps Catalyst from pruning the
+    # raise_error expression away.
+    guard = emb.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.when(
+            F.col("_n") > max_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding_near_pairs: input has "),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        f" rows > max_rows={max_rows}; exact all-pairs cosine "
+                        "is O(n**2) — use lsh_near_pairs (sub-quadratic LSH "
+                        "bucket join) or raise max_rows explicitly"
+                    ),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.lit(1))
+        .alias("_gate")
+    )
     blk = (F.col("vec_id") / block_size).cast("long")
     # Local-testdata note: embeddings ship as one parquet file → a
     # 1-partition scan; spread the probe side so the tile scoring
@@ -185,7 +217,9 @@ def embedding_near_pairs(
         .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
     )
     cand = (
-        a.join(F.broadcast(bp), "ba")
+        a.crossJoin(F.broadcast(guard))
+        .where(F.col("_gate") == 1)
+        .join(F.broadcast(bp), "ba")
         .join(b, "bb")
         .where(F.col("id_a") < F.col("id_b"))
     )

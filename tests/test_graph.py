@@ -47,3 +47,14 @@ def test_components_unconverged_raises(spark):
     edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_iter=2)
+
+
+def test_components_max_iter_zero_raises_runtime_error(spark):
+    """max_iter=0 hits the for-else with no rounds run; must raise the
+    intended RuntimeError, not NameError on an unbound loop variable."""
+    import pytest
+
+    verts = spark.createDataFrame([Row(id=1), Row(id=2)])
+    edges = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=0)

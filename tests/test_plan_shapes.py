@@ -107,6 +107,28 @@ def test_embedding_cosine_all_pairs_is_distributed(spark):
     assert "BroadcastHashJoin" in plan  # block-pair table broadcast
 
 
+def test_embedding_cosine_size_gate_enforced(spark):
+    """The 'use LSH past ~1e5 vectors' contract is enforced in-plan:
+    an input larger than max_rows raises at execution time with a
+    message routing the caller to lsh_near_pairs; a small input is
+    unaffected (round-2 verdict task #4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators import similarity as S
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.lit("x").alias("label"),
+        F.array(*[(F.col("id") * 0.1 + i).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    assert S.embedding_near_pairs(emb, threshold=-1.0).count() == 20 * 19 // 2
+    with pytest.raises(Exception, match="lsh_near_pairs"):
+        S.embedding_near_pairs(emb, threshold=-1.0, max_rows=10).count()
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     """With broadcast disabled (as it would be for a fact⋈large-dim
     join at 100 TB), the runtime Bloom filter from the selective
