@@ -33,6 +33,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "multimodal_resize",
+    "multimodal_audio_decode",
     "embedding_label_centroids",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",

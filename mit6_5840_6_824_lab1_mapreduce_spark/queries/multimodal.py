@@ -91,43 +91,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_feature_extract",
     oracle=r"""
-    SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
+    WITH audio AS (
+      SELECT doc_id, 32 + doc_id % 32 AS nf FROM documents WHERE doc_id % 3 = 1
+    ), smp AS (
+      SELECT doc_id, nf, (doc_id * 131 + i * 7919) % 2048 - 1024 AS s
+      FROM audio, unnest(range(0, nf)) AS t(i)
+    ), astats AS (
+      SELECT doc_id,
+             CAST(44 + 2 * nf AS BIGINT) AS n_bytes,
+             round(1.0 + 2.0 + 8000.0 + nf
+                   + sqrt(sum(s * s) / count(*))
+                   + max(abs(s))
+                   + sum(s) / CAST(count(*) AS DOUBLE)
+                   + nf / 8000.0, 6) AS feat_sum
+      FROM smp GROUP BY doc_id, nf
+    )
+    SELECT d.doc_id AS asset_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
-           length(text) AS n_bytes,
-           round(0.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text),  1, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text),  2, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text),  3, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text),  4, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text),  5, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text),  6, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text),  7, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text),  8, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text),  9, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text), 11, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text), 12, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text), 13, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text), 14, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(text), 15, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(text), 16, 1)) - 1)) / 255.0
-           , 6) AS feat_sum
-    FROM documents
+           CASE WHEN d.doc_id % 3 = 1 THEN a.n_bytes
+                ELSE length(d.text) END AS n_bytes,
+           CASE WHEN d.doc_id % 3 = 1 THEN a.feat_sum
+                ELSE round(0.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  1, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text),  2, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  3, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text),  4, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  5, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text),  6, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  7, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text),  8, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  9, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text), 10, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 11, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text), 12, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 13, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text), 14, 1)) - 1)) / 255.0
+             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 15, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(md5(d.text), 16, 1)) - 1)) / 255.0
+           , 6) END AS feat_sum
+    FROM documents d LEFT JOIN astats a ON d.doc_id = a.doc_id
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Pandas-UDF decode path: mapInPandas over Arrow
-    batches runs the (stubbed, deterministic) decoder per asset; the
-    oracle recomputes the md5-derived feature sum in SQL — proving
-    the Python batch plumbing (schema, batching, byte handling) is
-    lossless. At scale this stage is the pattern for real codecs:
-    decode parallelism = partition count, payloads never hit the
-    driver."""
-    from ..operators.multimodal import assets_from_documents, extract_features
+    batches decodes per asset. Audio rows carry REAL WAV containers
+    and are decoded for real with stdlib `wave` (header + PCM → RMS /
+    peak / mean); image/video use the deterministic md5 stand-in (no
+    codecs in this container). The oracle recomputes the audio
+    features arithmetically from the WAV generation formula and the
+    md5 sum in SQL — proving the Python batch plumbing AND the real
+    container round-trip are lossless. At scale this stage is the
+    pattern for real codecs: decode parallelism = partition count,
+    payloads never hit the driver."""
+    from ..operators.multimodal import (
+        assets_from_documents,
+        extract_features,
+        with_audio_payloads,
+    )
 
-    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    assets = with_audio_payloads(assets_from_documents(table(spark, sf_dir, "documents")))
     feats = extract_features(assets, fake=True)
     return feats.select(
         "asset_id",
@@ -136,6 +160,62 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("feat_sum"),
+    )
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle=r"""
+    WITH audio AS (
+      SELECT doc_id AS asset_id, 32 + doc_id % 32 AS nf
+      FROM documents WHERE doc_id % 3 = 1
+    ), smp AS (
+      SELECT asset_id, nf, (asset_id * 131 + i * 7919) % 2048 - 1024 AS s
+      FROM audio, unnest(range(0, nf)) AS t(i)
+    )
+    SELECT asset_id,
+           1 AS n_channels,
+           2 AS sampwidth,
+           8000 AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           round(sqrt(sum(s * s) / count(*)), 6) AS rms,
+           CAST(max(abs(s)) AS DOUBLE) AS peak,
+           round(sum(s) / CAST(count(*) AS DOUBLE), 6) AS mean_amp
+    FROM smp GROUP BY asset_id, nf
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no fake anywhere: audio assets are RIFF/WAV
+    containers parsed by stdlib `wave` inside the mapInPandas stage
+    (`decode_asset` with fake=False); the oracle regenerates the PCM
+    stream arithmetically from the deterministic formula. Container
+    built on one side, parsed on the other — the decode is verified
+    lossless field by field (header + signal statistics).
+
+    Reference analog: the UDF surface is the whole engine
+    (/root/reference/src/mr/worker.go:32-33) — decode is the modern
+    map UDF."""
+    from ..operators.multimodal import (
+        assets_from_documents,
+        extract_features,
+        with_audio_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    assets = with_audio_payloads(assets_from_documents(docs)).where(
+        F.col("modality") == "audio"
+    )
+    feats = extract_features(assets, fake=False)  # raises if decode isn't real
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("int").alias("n_channels"),
+        f[1].cast("int").alias("sampwidth"),
+        f[2].cast("int").alias("sample_rate"),
+        f[3].cast("long").alias("n_frames"),
+        F.round(f[4], 6).alias("rms"),
+        f[5].alias("peak"),
+        F.round(f[6], 6).alias("mean_amp"),
     )
 
 
