@@ -82,6 +82,108 @@ def test_output_commit_atomicity(spark):
     shutil.rmtree(out)
 
 
+SPECULATION_PROBE = r"""
+import sys, threading, time
+from pyspark.sql import SparkSession
+
+spark = (
+    # local-cluster: real executor JVMs — required because Spark's
+    # TaskSchedulerImpl disables the speculation thread in local mode
+    SparkSession.builder.master("local-cluster[2,4,1024]")
+    .config("spark.speculation", "true")
+    .config("spark.speculation.interval", "100ms")
+    .config("spark.speculation.multiplier", "1.2")
+    .config("spark.speculation.quantile", "0.5")
+    # the efficiency gate needs executor heartbeat metrics (10 s
+    # period) that never arrive within this short job; disable so the
+    # runtime-vs-median rule decides, as in pre-3.4 Spark
+    .config("spark.speculation.efficiency.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("speculation-probe")
+    .getOrCreate()
+)
+sc = spark.sparkContext
+sc.setLogLevel("ERROR")
+
+SLOW_PART = 3
+SLEEP = 8.0
+
+def work(it):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    total = sum(it)
+    if ctx.partitionId() == SLOW_PART and ctx.attemptNumber() == 0:
+        # injected straggler: only the FIRST attempt stalls; a
+        # speculative duplicate (attempt 1) would run at normal speed
+        time.sleep(SLEEP)
+    time.sleep(0.3)  # per-task floor so the median runtime is nonzero
+    yield total
+
+result = {}
+def run_job():
+    result["sums"] = sc.parallelize(range(800), 8).mapPartitions(work).collect()
+
+t = threading.Thread(target=run_job)
+t.start()
+# Observe the scheduler's own state while the job runs: once the
+# straggler exceeds multiplier x median, the TaskSetManager must add
+# it to speculatableTasks (the reassignment decision itself).
+max_spec = 0
+ts = sc._jsc.sc().taskScheduler()
+while t.is_alive():
+    try:
+        q = ts.rootPool().getSortedTaskSetQueue()
+        for i in range(q.size()):
+            n = q.apply(i).speculatableTasks().size()
+            max_spec = max(max_spec, n)
+    except Exception:
+        pass  # task set may retire between size() and apply()
+    time.sleep(0.2)
+t.join()
+sums = result["sums"]
+# exactly-once output: 8 partition sums, grand total intact (a
+# duplicated or dropped partition result would break either)
+exactly_once = len(sums) == 8 and sum(sums) == sum(range(800))
+print(f"RESULT exactly_once={exactly_once} speculated={max_spec >= 1}", flush=True)
+spark.stop()
+sys.exit(0 if exactly_once and max_spec >= 1 else 1)
+"""
+
+
+def test_speculation_detects_straggler_exactly_once_output():
+    """C9's second half (SURVEY §2.2): the reference reassigns tasks
+    stuck >10 s (/root/reference/src/mr/coordinator.go:12-14,122-128;
+    straggler probes /root/reference/src/mrapps/mtiming.go:19-91).
+    Spark's analog is speculative execution. With spark.speculation on
+    and an injected straggler (first attempt of one partition sleeps
+    ~27x the median task time), the scheduler must DETECT the straggler
+    and mark it for a speculative attempt — asserted directly against
+    TaskSetManager.speculatableTasks — and the job output must stay
+    exactly-once. Runs in a subprocess on local-cluster (real executor
+    JVMs) because speculation is a scheduler-startup conf and is
+    force-disabled in local mode.
+
+    Note: the speculative COPY cannot actually launch here — Spark only
+    places it on a host with no existing attempt of the task, and a
+    single-machine test rig has one host. The reassignment decision
+    (the coordinator.go:122-128 analog) plus duplicate-tolerant output
+    is exactly what this pins; the race itself needs >=2 hosts."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", SPECULATION_PROBE],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    marker = [l for l in proc.stdout.splitlines() if l.startswith("RESULT")]
+    assert proc.returncode == 0, (
+        f"speculation probe failed: {marker or proc.stdout[-500:]}\n{proc.stderr[-500:]}"
+    )
+    assert marker and "exactly_once=True" in marker[0] and "speculated=True" in marker[0]
+
+
 @pytest.mark.parametrize("n_parts", [2, 4])
 def test_task_parallelism(spark, n_parts):
     """A6/A7: ≥2 tasks execute (partition count governs concurrency;
