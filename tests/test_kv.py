@@ -131,3 +131,63 @@ def test_replay_matches_model_on_regressing_ids(spark, seed):
     df = spark.createDataFrame(ops, schema=SCHEMA)
     got = {r["key"]: r["value"] for r in replay_final_state(df).collect()}
     assert got == replay_python_model(ops)
+
+
+def _gen_tagged_appends(n: int, seed: int, n_clients: int = 5) -> list[tuple]:
+    """Append-only log on ONE shared key, every value tagged
+    'x <client> <request> y' (the reference's probe format), with
+    exact-duplicate clerk retries AND regressing stale ids."""
+    rng = random.Random(seed)
+    ops, seq = [], 0
+    next_req = {c: 0 for c in range(n_clients)}
+    for _ in range(n):
+        c = rng.randrange(n_clients)
+        if next_req[c] > 2 and rng.random() < 0.2:
+            rid = rng.randrange(next_req[c])  # stale retry, regressing id
+        else:
+            rid = next_req[c]
+            next_req[c] += 1
+        val = f"x {c} {rid} y"
+        for _ in range(2 if rng.random() < 0.3 else 1):  # duplicate commit
+            ops.append((seq, c, rid, "Append", "k", val))
+            seq += 1
+    return ops
+
+
+@pytest.mark.parametrize("seed", [1, 5, 13, 42, 77])
+def test_per_client_append_order_invariant(spark, seed):
+    """Direct restatement of checkClntAppends
+    (/root/reference/src/kvraft/test_test.go:141): parse the final
+    concatenated value and assert, independently of the Python model,
+    that each client's APPLIED appends appear in request-id order,
+    exactly once — and that the applied set is exactly what the
+    high-water rule (server.go:128-134) admits from the log."""
+    import re
+    from collections import defaultdict
+
+    ops = _gen_tagged_appends(200, seed=seed)
+    df = spark.createDataFrame(ops, schema=SCHEMA)
+    value = lookup(replay_final_state(df), "k")
+
+    tags = re.findall(r"x (\d+) (\d+) y", value)
+    # the value must be wholly composed of intact tags (no torn writes)
+    assert "".join(f"x {c} {r} y" for c, r in tags) == value
+    # exactly once: no (client, request) applied twice anywhere
+    assert len(tags) == len(set(tags))
+    seen: dict[int, list[int]] = defaultdict(list)
+    for c, r in tags:
+        seen[int(c)].append(int(r))
+    # per-client subsequence is strictly increasing in request id
+    for c, rids in seen.items():
+        assert rids == sorted(set(rids)), f"client {c} appends out of order: {rids}"
+    # completeness: applied set == the high-water rule scanned over the
+    # log in commit order (a direct restatement of the rule, not the
+    # full KV model)
+    expect: dict[int, list[int]] = defaultdict(list)
+    hw: dict[int, int] = {}
+    for _seq, c, rid, _op, _k, _v in sorted(ops):
+        if c in hw and rid <= hw[c]:
+            continue
+        hw[c] = rid
+        expect[c].append(rid)
+    assert dict(seen) == dict(expect)

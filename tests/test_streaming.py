@@ -67,6 +67,61 @@ def test_kv_stream_matches_batch_replay(spark, tmpdir):
     assert got == batch
 
 
+def test_kv_stream_prefix_state_matches_batch_get_at_seq(spark, tmpdir):
+    """Batch/stream K1 symmetry for the point-in-time read: the
+    streaming KV machine's state after consuming the op-log PREFIX
+    seq <= S must equal the batch prefix replay that backs
+    `kv_get_at_seq` — and after resuming the SAME checkpoint over the
+    remainder of the log, the overlaid state must equal the full batch
+    replay (checkpoint resume = K4 snapshot/restore of that state)."""
+    ops = _gen_ops(300, seed=11)
+    mid_seq = ops[len(ops) // 2][0]
+    prefix = [o for o in ops if o[0] <= mid_seq]
+    rest = [o for o in ops if o[0] > mid_seq]
+    spark.createDataFrame(prefix, schema=SCHEMA).write.parquet(f"{tmpdir}/ops/p0")
+
+    def run():
+        # foreachBatch sink: the memory sink refuses checkpoint
+        # recovery, and resuming the SAME checkpoint is the point here
+        emitted: dict[str, str] = {}
+        src = spark.readStream.schema(SCHEMA).parquet(f"{tmpdir}/ops/*")
+        q = (
+            kv_state_stream(src)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.update(
+                    {r["key"]: r["value"] for r in df.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt-kvprefix")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    got_at_s = run()
+    batch_at_s = {
+        r["key"]: r["value"]
+        for r in replay_final_state(
+            spark.createDataFrame(prefix, schema=SCHEMA)
+        ).collect()
+    }
+    assert got_at_s == batch_at_s
+
+    # feed the rest of the log through the SAME checkpoint; update mode
+    # re-emits only keys the new ops touched — overlaying them on the
+    # prefix state must reproduce the full replay
+    spark.createDataFrame(rest, schema=SCHEMA).write.parquet(f"{tmpdir}/ops/p1")
+    updates = run()
+    final = {**got_at_s, **updates}
+    batch_full = {
+        r["key"]: r["value"]
+        for r in replay_final_state(spark.createDataFrame(ops, schema=SCHEMA)).collect()
+    }
+    assert final == batch_full
+
+
 def test_windowed_stream_matches_batch(spark, tmpdir):
     shutil.copy(f"{SF_SMOKE}/events.parquet", f"{tmpdir}/events.parquet")
     ev = read_events_stream(spark, tmpdir)
