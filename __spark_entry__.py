@@ -34,6 +34,8 @@ _PRIORITY = [
     "multimodal_feature_extract",
     "multimodal_resize",
     "multimodal_audio_decode",
+    "dedup_exact_keep",
+    "dedup_oversized_buckets",
     "embedding_label_centroids",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",

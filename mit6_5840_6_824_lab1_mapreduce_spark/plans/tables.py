@@ -39,12 +39,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # as ONE small parquet file → a 1-partition scan would run
         # every explode single-threaded. Spread rows across the
         # cluster first; the text shuffle is tiny relative to the
-        # expansion it parallelizes. (On a real corpus the input is
-        # already thousands of files and this is a no-op cost.)
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
+        # expansion it parallelizes. Guarded: on a real corpus the
+        # scan already has >= cluster-parallelism partitions and the
+        # shuffle is skipped entirely.
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -145,6 +145,56 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_exact_keep",
+    oracle=r"""
+    SELECT doc_id, content_hash, n_copies FROM (
+      SELECT doc_id, md5(text) AS content_hash,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    ) WHERE doc_id = keep_id
+    """,
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection at query level: the documents that SURVIVE
+    exact dedup (keeper = min doc_id per content digest), with copy
+    counts — the other half of `dedup_exact`'s group listing. At scale
+    this is the join that materializes the deduplicated corpus: groups
+    (a digest-keyed aggregate) joined back to the doc table on digest."""
+    docs = table(spark, sf_dir, "documents")
+    g = D.exact_dedup_groups(docs)
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    return (
+        hashed.join(g, "content_hash")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+@query(
+    "dedup_oversized_buckets",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL}
+    SELECT band_idx, band_hash, count(*) AS bucket_size
+    FROM bands
+    GROUP BY band_idx, band_hash
+    HAVING count(*) > 2
+    """,
+)
+def dedup_oversized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit half of the hot-bucket recall contract: exactly the
+    band buckets `dedup_minhash_lsh_capped` (cap 2) drops, with their
+    sizes. Run alongside a capped dedup job to log what was skipped —
+    at 100 TB these rows are the degenerate values (boilerplate, empty
+    docs) that would each have generated size²/2 candidate pairs."""
+    docs = table(spark, sf_dir, "documents")
+    bands = D.lsh_bands_df(D.minhash_signature_df(D.shingle_pairs_df(docs)))
+    return D.oversized_buckets(bands, max_bucket_size=2)
+
+
 _SIMHASH_SQL = r"""
   toks AS (
     SELECT doc_id AS id,
