@@ -324,12 +324,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_components",
-    oracle=rf"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    {_MINHASH_SQL},
-    {_BANDS_SQL},
+_CC_SQL = r"""
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
@@ -357,6 +352,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
     )
+"""
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_CC_SQL}
     SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
     """,
 )
@@ -374,3 +379,38 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = docs.select(F.col("doc_id").alias("id"))
     cc = connected_components(verts, pairs)
     return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+@query(
+    "dedup_minhash_keep",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_CC_SQL},
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT component AS doc_id, count(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving corpus after fuzzy dedup — the final step of the
+    pipeline (pairs → clusters → keeper per cluster). Keeper = the
+    component representative itself (min-label CC makes the component
+    id the minimum doc_id in the cluster, so keeper selection is a
+    groupBy, not another join); cluster_size = how many near-dups each
+    keeper absorbed (1 = unique). At 100 TB this is the job that
+    writes the training corpus: one aggregate over the CC output, then
+    (in production) a semi-join of `documents` against these keeper
+    ids."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    verts = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(verts, pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("component").alias("doc_id"), "cluster_size")
+    )

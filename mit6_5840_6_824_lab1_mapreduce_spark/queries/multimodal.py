@@ -135,25 +135,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end Pandas-UDF decode path: mapInPandas over Arrow
-    batches decodes per asset. Audio rows carry REAL WAV containers
-    and are decoded for real with stdlib `wave` (header + PCM → RMS /
-    peak / mean); image/video use the deterministic md5 stand-in (no
-    codecs in this container). The oracle recomputes the audio
-    features arithmetically from the WAV generation formula and the
-    md5 sum in SQL — proving the Python batch plumbing AND the real
-    container round-trip are lossless. At scale this stage is the
-    pattern for real codecs: decode parallelism = partition count,
-    payloads never hit the driver."""
-    from ..operators.multimodal import (
-        assets_from_documents,
-        extract_features,
-        with_audio_payloads,
-    )
+    """End-to-end decode path, routed by whether decode is REAL:
+    audio rows are real WAV containers built and parsed (stdlib
+    `wave`, header + PCM → RMS / peak / mean) inside ONE fused Arrow
+    `mapInPandas` stage — only audio rows enter Python, fed by a
+    single pruned id column, and the payload never crosses a stage
+    boundary (`audio_features_df`). Image/video rows' stand-in decode
+    is just md5-digest arithmetic, so it folds into JVM expressions —
+    no Arrow transfer at all for 2/3 of the corpus. The oracle
+    recomputes both paths in SQL. At scale this split is the pattern:
+    pay the Python/Arrow toll exactly once, exactly where a real
+    codec runs; everything else stays in whole-stage codegen."""
+    from ..operators.multimodal import assets_from_documents, audio_features_df
 
-    assets = with_audio_payloads(assets_from_documents(table(spark, sf_dir, "documents")))
-    feats = extract_features(assets, fake=True)
-    return feats.select(
+    docs = table(spark, sf_dir, "documents")
+    audio = audio_features_df(docs).select(
         "asset_id",
         "modality",
         "n_bytes",
@@ -161,6 +157,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("feat_sum"),
     )
+    iv = assets_from_documents(docs).where(F.col("modality") != "audio")
+    h = F.col("meta.digest")
+    feat_sum = F.lit(0.0)
+    for k in range(8):  # digest bytes [0:8] / 255 — same fold order as decode_asset
+        feat_sum = feat_sum + F.conv(F.substring(h, 2 * k + 1, 2), 16, 10).cast(
+            "double"
+        ) / 255.0
+    iv_feats = iv.select(
+        "asset_id",
+        "modality",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round(feat_sum, 6).alias("feat_sum"),
+    )
+    return audio.unionByName(iv_feats)
 
 
 @query(
@@ -195,17 +205,10 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the UDF surface is the whole engine
     (/root/reference/src/mr/worker.go:32-33) — decode is the modern
     map UDF."""
-    from ..operators.multimodal import (
-        assets_from_documents,
-        extract_features,
-        with_audio_payloads,
-    )
+    from ..operators.multimodal import audio_wav_assets, extract_features
 
     docs = table(spark, sf_dir, "documents")
-    assets = with_audio_payloads(assets_from_documents(docs)).where(
-        F.col("modality") == "audio"
-    )
-    feats = extract_features(assets, fake=False)  # raises if decode isn't real
+    feats = extract_features(audio_wav_assets(docs), fake=False)  # raises if not real
     f = F.col("feature")
     return feats.select(
         "asset_id",

@@ -127,6 +127,35 @@ def test_extract_features_real_audio_in_pipeline(assets):
         extract_features(non_audio, fake=False).collect()
 
 
+def test_audio_wav_assets_matches_payload_swap(spark):
+    """The pruned-input audio builder (id column in, WAV out) must
+    produce exactly the audio rows the full payload-swap stage does —
+    it's the same table, minus the Arrow toll on bytes that were about
+    to be overwritten."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        audio_wav_assets,
+        with_audio_payloads,
+    )
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import table as load_table
+    from pyspark.sql import functions as F
+
+    # Not the module `assets` fixture: its limit(30) subset is plan-
+    # dependent, and both sides here must see the same rows.
+    docs = load_table(spark, SF_SMOKE, "documents")
+    via_swap = {
+        r["asset_id"]: r
+        for r in with_audio_payloads(assets_from_documents(docs))
+        .where(F.col("modality") == "audio")
+        .collect()
+    }
+    via_ids = {r["asset_id"]: r for r in audio_wav_assets(docs).collect()}
+    assert via_swap.keys() == via_ids.keys()
+    for aid, row in via_ids.items():
+        assert bytes(row["content"]) == bytes(via_swap[aid]["content"])
+        assert row["meta"] == via_swap[aid]["meta"]
+        assert row["modality"] == "audio"
+
+
 def test_non_ascii_strict_false_drops_with_ascii_kept(spark):
     """strict=False is the documented opt-out: non-ASCII rows are
     dropped, ASCII rows flow through unchanged."""
