@@ -36,6 +36,7 @@ _PRIORITY = [
     "multimodal_audio_decode",
     "dedup_exact_keep",
     "dedup_oversized_buckets",
+    "dedup_minhash_keep",
     "embedding_label_centroids",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",
