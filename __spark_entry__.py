@@ -37,6 +37,8 @@ _PRIORITY = [
     "dedup_exact_keep",
     "dedup_oversized_buckets",
     "dedup_minhash_keep",
+    "pipeline_clean_corpus",
+    "pipeline_corpus_stats",
     "embedding_label_centroids",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",

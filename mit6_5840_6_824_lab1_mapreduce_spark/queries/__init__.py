@@ -21,5 +21,6 @@ from . import joins  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text_metrics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

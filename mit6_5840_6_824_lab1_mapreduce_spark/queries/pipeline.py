@@ -1,0 +1,161 @@
+"""End-to-end training-corpus cleaning pipeline over ``documents``.
+
+This is the flagship LLM-data-pipeline composition: every signal the
+repo computes separately (exact digest dedup, MinHash+LSH near-dup
+clusters, heuristic quality score, stopword language ID) is joined
+into one per-document verdict, the way a production pre-training
+cleanup job annotates a corpus before writing the surviving shard.
+
+Design for 100 TB: annotate-then-filter, not filter-then-recompute.
+All four signals are derived from the SAME pass over ``documents``
+(Catalyst reuses the scan), each is a hash-partitioned aggregate or
+bounded equi-join that already has its own scale story
+(operators/dedup.py, operators/graph.py, text_metrics), and the final
+verdict is a 4-way join on doc_id — co-partitioned, no new shuffle
+shape. Filtering early would save nothing here (every signal needs
+the full text anyway) and would serialize the stages.
+
+Oracles are composed from the exact fragments the per-stage queries
+use — so the compare proves the composition, not just the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.graph import connected_components
+from ..plans import table
+from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
+from .registry import REGISTRY, query
+from .text_metrics import text_language_id, text_quality_score
+
+QUALITY_MIN = 0.40  # ≈ p10 of the corpus quality distribution
+KEEP_LANG = "en"
+
+# Per-doc verdict CTE chain, shared by both pipeline queries. The
+# quality / language stages are spliced in verbatim from their
+# already-registered oracles (as nested-WITH subqueries) so the two
+# engines agree by construction. str concatenation, not .format() —
+# the fragments contain literal regex braces.
+_VERDICT_SQL = (
+    r"""
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    ex AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    ),
+    qs AS ("""
+    + REGISTRY["text_quality_score"].oracle
+    + r"""),
+    lid AS ("""
+    + REGISTRY["text_language_id"].oracle
+    + rf"""),
+    v AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN d.doc_id <> ex.keep_id THEN 'drop_exact_dup'
+                  WHEN d.doc_id <> comp.component THEN 'drop_near_dup'
+                  WHEN qs.quality_score < {QUALITY_MIN} THEN 'drop_low_quality'
+                  WHEN lid.pred_lang <> '{KEEP_LANG}' THEN 'drop_lang'
+                  ELSE 'keep' END AS verdict,
+             qs.quality_score, lid.pred_lang
+      FROM documents d
+      JOIN ex USING (doc_id)
+      JOIN comp USING (doc_id)
+      JOIN qs USING (doc_id)
+      JOIN lid USING (doc_id)
+    )
+"""
+)
+
+_PIPELINE_PREFIX = (
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL
+    + ",\n"
+    + _MINHASH_SQL
+    + ",\n"
+    + _BANDS_SQL
+    + ",\n"
+    + _CC_SQL
+    + ",\n"
+    + _VERDICT_SQL
+)
+
+
+def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, verdict, quality_score, pred_lang) for every
+    document — first matching drop reason wins, priority
+    exact_dup > near_dup > low_quality > lang."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("keep_id"),
+    )
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    cc = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    comp = cc.select(F.col("id").alias("doc_id"), "component")
+    qs = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lid = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        hashed.join(comp, "doc_id")
+        .join(qs, "doc_id")
+        .join(lid, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("doc_id") != F.col("keep_id"), "drop_exact_dup")
+            .when(F.col("doc_id") != F.col("component"), "drop_near_dup")
+            .when(F.col("quality_score") < QUALITY_MIN, "drop_low_quality")
+            .when(F.col("pred_lang") != KEEP_LANG, "drop_lang")
+            .otherwise("keep")
+            .alias("verdict"),
+            "quality_score",
+            "pred_lang",
+        )
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=_PIPELINE_PREFIX
+    + r"""
+    SELECT doc_id, verdict, quality_score, pred_lang FROM v
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cleaning verdict for the whole corpus: exact-dup
+    drop (md5 keeper window), near-dup drop (MinHash+LSH pair graph →
+    connected components, keeper = component min), quality drop
+    (heuristic score < 0.40), language drop (stopword ID ≠ 'en').
+    The production job writes `WHERE verdict = 'keep'` as the training
+    shard; emitting the verdict keeps the audit trail."""
+    return _pipeline_frame(spark, sf_dir).drop("n_chars")
+
+
+@query(
+    "pipeline_corpus_stats",
+    oracle=_PIPELINE_PREFIX
+    + r"""
+    SELECT verdict, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(quality_score), 6) AS mean_quality
+    FROM v GROUP BY verdict
+    """,
+)
+def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield report: documents and bytes surviving each
+    verdict class — the number a data-curation run is judged by
+    (docs in → docs kept, where the rest went)."""
+    return (
+        _pipeline_frame(spark, sf_dir)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        )
+    )
