@@ -40,6 +40,9 @@ _PRIORITY = [
     "pipeline_clean_corpus",
     "pipeline_corpus_stats",
     "embedding_label_centroids",
+    "similarity_topk_batch",
+    "similarity_ivf_assign",
+    "similarity_ivf_topk",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",
 ]

@@ -230,6 +230,140 @@ def embedding_near_pairs(
     ).where(F.col("cos") >= threshold)
 
 
+def batch_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact top-k neighbours for a BATCH of query vectors in one
+    pass: broadcast the query batch, score corpus×queries, rank per
+    query with a row_number window. Spark ≥3.5 inserts a
+    WindowGroupLimit below the rank filter, so each task keeps only
+    its local top-k before the q_id shuffle — the per-partition
+    partial top-k a hand-written two-phase job would do, for free.
+    At 100 TB this is THE retrieval shape: one corpus scan amortized
+    over the whole query batch instead of a job per query."""
+    v = embeddings_quantized(emb)
+    q = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q"), F.col("qq"), F.col("n2"), F.col("qn2")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_refined_centroids(v: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """One k-means (Lloyd) refinement step over quantized vectors:
+    seeds = vectors with vec_id < n_seeds; assign each vector to its
+    nearest seed by exact integer distance (argmin of ||c||² − 2·v·c,
+    ties → smaller cid); new centroid = per-dimension integer mean
+    (rounded half away from zero — int64 ops only, engine-agnostic).
+
+    Scale shape: assignment is a broadcast of k centroid rows against
+    the corpus (k·n scored rows, map-side only); the mean is a
+    posexplode → groupBy(cid, pos) sum — the exploded table shuffles
+    on (cid, pos), so a 100 TB corpus spreads across the cluster
+    instead of one reducer per centroid."""
+    c0 = v.where(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+    a0 = ivf_assign(v, c0)
+    ex = v.join(a0, "vec_id").select(
+        "cid", F.posexplode(F.col("q")).alias("pos", "val")
+    )
+    sums = ex.groupBy("cid", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("cnt")
+    )
+    mean_q = F.when(
+        F.col("s") >= 0, F.expr("(2*s + cnt) div (2*cnt)")
+    ).otherwise(-F.expr("(2*(-s) + cnt) div (2*cnt)"))
+    comp = sums.select("cid", "pos", mean_q.cast("long").alias("m"), "cnt")
+    c1 = (
+        comp.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("cq"),
+            F.first("cnt").alias("n_members"),
+        )
+        .withColumn("cn2", norm2(F.col("cq")))
+    )
+    return c1.select("cid", "cq", "cn2", "n_members")
+
+
+def ivf_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid
+    table, score ||c||² − 2·v·c per (vector, centroid) — exact int64
+    — and keep the argmin via min(struct(score, cid)). One map-side
+    broadcast join + one groupBy on vec_id."""
+    scored = v.crossJoin(
+        F.broadcast(centroids.select("cid", "cq", "cn2"))
+    ).select(
+        "vec_id",
+        "cid",
+        (F.col("cn2") - 2 * dot_ll(F.col("q"), F.col("cq"))).alias("score"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 7,
+    n_seeds: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the `n_probe` nearest refined centroids, rank
+    candidates in those inverted lists by exact cosine. With the
+    corpus written partitioned by cid, a query reads n_probe
+    partitions — the classic IVF-flat index as pure DataFrame
+    algebra (train = ivf_refined_centroids, index = ivf_assign,
+    search = this)."""
+    v = embeddings_quantized(emb)
+    c1 = ivf_refined_centroids(v, n_seeds=n_seeds)
+    assign = ivf_assign(v, c1)
+    qrow = v.where(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    probe = (
+        c1.crossJoin(F.broadcast(qrow))
+        .select(
+            "cid",
+            (F.col("cn2") - 2 * dot_ll(F.col("qq"), F.col("cq"))).alias("score"),
+        )
+        .orderBy("score", "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    cands = (
+        v.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != query_vec_id)
+    )
+    return (
+        cands.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            cosine(F.col("q"), F.col("qq"), F.col("n2"), F.col("qn2")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_near_pairs(
     emb: DataFrame, threshold: float = 0.45, planes: list[list[int]] | None = None
 ) -> DataFrame:

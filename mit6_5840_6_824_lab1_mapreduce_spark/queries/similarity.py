@@ -206,6 +206,150 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_batch",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    qv AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 8),
+    sc AS (
+      SELECT qv.q_id, n.vec_id,
+             {_COS_SQL.format(a="n", b="qv.qq", n2b="qv.qn2")} AS cos
+      FROM n CROSS JOIN qv
+      WHERE n.vec_id <> qv.q_id
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM sc
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-5 neighbours for 8 query vectors
+    in ONE corpus pass (broadcast query batch → scored rows →
+    per-query row_number rank). Spark's WindowGroupLimit pushes the
+    rank≤k filter below the shuffle, so each task ships only its
+    local top-5 per query — the two-phase distributed top-k, derived
+    by the optimizer."""
+    return S.batch_topk(table(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+_IVF_SQL = rf"""
+    c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+    a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY c.cn2 - 2 * list_sum(list_transform(
+                            range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i])),
+                          c.cid
+               ) AS rn
+        FROM n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    sx AS (
+      SELECT a.cid, generate_subscripts(n.q, 1) AS pos, unnest(n.q) AS val
+      FROM n JOIN a0 a USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS cnt
+      FROM sx GROUP BY cid, pos
+    ),
+    comp AS (
+      SELECT cid, pos,
+             CASE WHEN s >= 0 THEN (2 * s + cnt) // (2 * cnt)
+                  ELSE -((2 * (-s) + cnt) // (2 * cnt)) END AS m,
+             cnt
+      FROM sums
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cq, max(cnt) AS n_members
+      FROM comp GROUP BY cid
+    ),
+    c1n AS (
+      SELECT cid, cq,
+             list_sum(list_transform(range(1, len(cq) + 1), i -> cq[i] * cq[i]))
+               AS cn2,
+             n_members
+      FROM c1
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY c.cn2 - 2 * list_sum(list_transform(
+                            range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i])),
+                          c.cid
+               ) AS rn
+        FROM n CROSS JOIN c1n c
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "similarity_ivf_assign",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    {_IVF_SQL}
+    SELECT vec_id, cid FROM a1
+    """,
+)
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build, pinned end to end: seed centroids (vec_id<8)
+    → one exact-integer Lloyd step (assign + rounded-int centroid
+    means) → final nearest-centroid assignment. The oracle re-derives
+    the identical training step in SQL, so the compare proves the
+    distributed k-means iteration — broadcast assign + posexplode
+    mean — is bit-exact, not just plausible."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.embeddings_quantized(emb)
+    c1 = S.ivf_refined_centroids(v, n_seeds=8)
+    return S.ivf_assign(v, c1)
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    {_IVF_SQL},
+    qv AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY c.cn2 - 2 * list_sum(list_transform(
+                            range(1, len(qv.qq) + 1), i -> qv.qq[i] * c.cq[i])),
+                          c.cid
+               ) AS rn
+        FROM c1n c CROSS JOIN qv
+      ) WHERE rn <= 2
+    )
+    SELECT n.vec_id,
+           {_COS_SQL.format(a="n", b="qv.qq", n2b="qv.qn2")} AS cos
+    FROM n
+    JOIN a1 USING (vec_id)
+    JOIN probe ON a1.cid = probe.cid
+    CROSS JOIN qv
+    WHERE n.vec_id <> 0
+    ORDER BY cos DESC, n.vec_id ASC
+    LIMIT 7
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN search: probe the 2 nearest refined centroids,
+    exact-cosine rank within their inverted lists. With the corpus
+    written partitioned by cid this is an n_probe-partition read —
+    the scale ANN path when hyperplane LSH's fixed buckets fit the
+    data worse than learned centroids."""
+    return S.ivf_topk(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, k=7, n_seeds=8, n_probe=2
+    )
+
+
+@query(
     "embedding_label_centroids",
     oracle=r"""
     WITH ex AS (

@@ -163,3 +163,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     )
     no_bloom = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count().collect()
     assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, no_bloom))
+
+
+def test_batch_topk_has_partial_window_group_limit(spark):
+    """The batched top-k must push the rank<=k filter below the q_id
+    shuffle (WindowGroupLimit Partial): each task ships only its
+    local top-k per query — without it, the shuffle carries the full
+    |corpus|x|batch| scored product."""
+    plan = _plan(spark, "similarity_topk_batch")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange")[1]  # map-side limit below shuffle
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row query batch broadcast
+
+
+def test_ivf_search_broadcasts_index_side(spark):
+    """IVF search must broadcast the tiny probe/centroid tables and
+    keep the corpus on the streaming side; top-k compiles to
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "similarity_ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # probe set + query row
