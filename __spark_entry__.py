@@ -45,6 +45,10 @@ _PRIORITY = [
     "similarity_ivf_topk",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
 ]
 
 

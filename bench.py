@@ -29,6 +29,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
     "sales_rollup",
     "nation_trade_volume",
     "monthly_return_share",
@@ -48,9 +50,12 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
+    "similarity_topk_batch",
     "similarity_ann_lsh",
+    "similarity_ivf_topk",
     "similarity_lsh_near_pairs",
     "dedup_embedding_cosine",
+    "pipeline_clean_corpus",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_frame_sample",

@@ -683,3 +683,174 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=r"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure predicate-pushdown scan — every filter reaches
+    the parquet reader (date range, discount band, quantity cap), no
+    join, no shuffle beyond the 1-row final aggregate. The benchmark's
+    canonical 'is your scan path efficient' probe."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        sum_expr(
+            F.col("l_extendedprice").cast(MONEY) * F.col("l_discount").cast("decimal(3,2)"),
+            "revenue",
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=r"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+             AS revenue,
+           round(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue last quarter. Both
+    filters (quarter, returnflag) push to the scans BEFORE the fact
+    join, nation broadcasts, and the top-20 is TakeOrderedAndProject.
+    The shape that proves filter-then-join ordering at scale."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum_expr(disc_price(), "revenue"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            F.round(F.col("c_acctbal").cast(MONEY).cast("double"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle=r"""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over a LEFT OUTER join (the
+    join predicate filter stays IN the join condition, not a WHERE —
+    customers with zero qualifying orders must survive with count 0).
+    Two aggregations: per-customer count (shuffle by custkey, the
+    join's own partitioning — no extra exchange), then the tiny
+    histogram rollup."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=r"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+             AS totalprice,
+           round(b.sum_qty, 2) AS sum_qty
+    FROM big b
+      JOIN orders o ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders via aggregate-then-join. The
+    HAVING on the per-order quantity sum runs BEFORE the joins, so
+    only the handful of big orders ever reach the orders/customer
+    tables (a selective build side AQE turns into a broadcast);
+    top-10 is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return (
+        j.select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            ts_str("o_orderdate", "orderdate"),
+            F.round(F.col("o_totalprice").cast(MONEY).cast("double"), 2).alias(
+                "totalprice"
+            ),
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(10)
+    )

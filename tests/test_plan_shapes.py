@@ -184,3 +184,21 @@ def test_ivf_search_broadcasts_index_side(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # probe set + query row
+
+
+def test_q6_all_filters_pushed(spark):
+    """Q6 is the pushdown probe: every predicate must reach the
+    parquet scan and the plan must contain no Exchange other than the
+    final 1-row aggregate's."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18's HAVING aggregate must run before the joins (only big
+    orders reach orders/customer) and top-10 must be
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
