@@ -39,6 +39,8 @@ _PRIORITY = [
     "dedup_minhash_keep",
     "pipeline_clean_corpus",
     "pipeline_corpus_stats",
+    "decontam_ngram_hits",
+    "decontam_drop_list",
     "embedding_label_centroids",
     "similarity_topk_batch",
     "similarity_ivf_assign",

@@ -22,5 +22,6 @@ from . import similarity  # noqa: E402,F401
 from . import text_metrics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import decontam  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]
