@@ -29,7 +29,7 @@ from ..operators.graph import connected_components
 from ..plans import table
 from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
 from .registry import REGISTRY, query
-from .text_metrics import text_language_id, text_quality_score
+from .text_metrics import language_frame, quality_frame
 
 QUALITY_MIN = 0.40  # ≈ p10 of the corpus quality distribution
 KEEP_LANG = "en"
@@ -98,8 +98,8 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
     cc = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
     comp = cc.select(F.col("id").alias("doc_id"), "component")
-    qs = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    lid = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    qs = quality_frame(docs).select("doc_id", "quality_score")
+    lid = language_frame(docs).select("doc_id", "pred_lang")
     return (
         hashed.join(comp, "doc_id")
         .join(qs, "doc_id")

@@ -80,7 +80,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality scoring: length, punctuation/digit
     density, stopword ratio, mean word length — the usual pre-training
     filter features, all from regexp counts (no UDFs)."""
-    d = table(spark, sf_dir, "documents")
+    return quality_frame(table(spark, sf_dir, "documents"))
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """Quality metrics as a frame transform — stateless projections,
+    so it applies unchanged to a streaming DataFrame (the pipeline's
+    quality stage is streaming-safe by construction)."""
     strip = lambda pat: F.length("text") - F.length(  # noqa: E731
         F.regexp_replace("text", pat, "")
     )
@@ -141,7 +147,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority tie-break). On this synthetic corpus the text carries no
     real language signal — the operator is graded on determinism, and
     pred vs true_lang is exposed for accuracy measurement."""
-    d = table(spark, sf_dir, "documents")
+    return language_frame(table(spark, sf_dir, "documents"))
+
+
+def language_frame(d: DataFrame) -> DataFrame:
+    """Language ID as a frame transform — stateless, streaming-safe
+    (see quality_frame)."""
     words = F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0)
     score = lambda lang: F.size(  # noqa: E731
         F.filter(words, lambda t: t.isin(*_STOP[lang]))

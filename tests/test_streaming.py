@@ -401,3 +401,40 @@ def test_streaming_dedup_within_watermark(spark, tmpdir):
     rows = spark.sql("SELECT event_id FROM sdedup").collect()
     ids = [r["event_id"] for r in rows]
     assert sorted(ids) == list(range(10))  # each id exactly once
+
+
+def test_streaming_corpus_annotation_matches_batch(spark, tmpdir):
+    """The cleaning pipeline's per-document stages (quality score +
+    language ID) are stateless projections, so they must run
+    UNCHANGED on a streaming DataFrame and agree with batch row for
+    row — the streaming-ingest half of pipeline_clean_corpus. (The
+    dedup stages are deliberately batch: they need corpus-global
+    state.)"""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.text_metrics import (
+        language_frame,
+        quality_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{tmpdir}/docs")
+    n_docs = docs.count()
+
+    for tag, frame, cols in (
+        ("qual", quality_frame, ["doc_id", "quality_score"]),
+        ("lang", language_frame, ["doc_id", "pred_lang"]),
+    ):
+        src = spark.readStream.schema(docs.schema).parquet(f"{tmpdir}/docs")
+        q = (
+            frame(src)
+            .select(*cols)
+            .writeStream.format("memory")
+            .queryName(f"annot_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt-{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM annot_{tag}").collect()}
+        want = {tuple(r) for r in frame(docs).select(*cols).collect()}
+        assert got == want and len(got) == n_docs, tag
