@@ -46,7 +46,9 @@ _HITS_SQL = rf"""
 
 def _hits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_pairs_df(docs)  # distinct (id, shingle), word 3-grams
+    # Tokenize/shingle once for its three consumers (df count + both
+    # join sides) — same persist pattern as the MinHash pipeline.
+    sh = D.shingle_pairs_df(docs).persist()  # distinct (id, shingle), 3-grams
     gdf = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = gdf.where(F.col("df") <= MAX_GRAM_DF).select("shingle")
     shk = sh.join(kept, "shingle")
