@@ -41,6 +41,8 @@ _PRIORITY = [
     "pipeline_corpus_stats",
     "decontam_ngram_hits",
     "decontam_drop_list",
+    "text_repetition_stats",
+    "corpus_source_mix",
     "embedding_label_centroids",
     "similarity_topk_batch",
     "similarity_ivf_assign",

@@ -313,3 +313,125 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(text, '[\p{L}]+') AS ws FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM ex GROUP BY doc_id, word),
+    agg AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             count(*) AS n_distinct_words,
+             CAST(max(cnt) AS BIGINT) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])
+               ELSE CAST([] AS VARCHAR[]) END AS bgs
+      FROM w
+    )
+    SELECT a.doc_id, a.n_words, a.n_distinct_words,
+           round(1.0 - a.n_distinct_words * 1.0 / a.n_words, 6) AS dup_word_ratio,
+           round(a.top_cnt * 1.0 / a.n_words, 6) AS top_word_share,
+           CASE WHEN len(b.bgs) >= 1
+                THEN round(1.0 - len(list_distinct(b.bgs)) * 1.0 / len(b.bgs), 6)
+                ELSE NULL END AS dup_bigram_ratio
+    FROM agg a JOIN bg b USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    ratio, most-common-word share, duplicate-bigram ratio — the
+    filters that catch boilerplate/spam that plain length or
+    punctuation heuristics miss. Word counts go through one explode +
+    groupBy(doc_id, word) (shuffle keyed by doc — even at corpus
+    scale each group is one document's vocabulary); bigram dedup is a
+    narrow in-row array op."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ws")
+    )
+    wc = (
+        w.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = w.select("doc_id", bigrams.alias("bgs"))
+    return (
+        agg.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+                "dup_word_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_share"),
+            F.when(
+                F.size("bgs") >= 1,
+                F.round(
+                    1.0 - F.size(F.array_distinct("bgs")) / F.size("bgs"), 6
+                ),
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+@query(
+    "corpus_source_mix",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '[\p{L}]+'))) AS BIGINT)
+               AS total_words
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_words,
+           round(total_words * 1.0 / sum(total_words) OVER (), 6) AS word_share
+    FROM t
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture table: per-source document and word-token
+    totals plus each source's share of the corpus — the input to
+    mixture-weight sampling when assembling a training blend. Exact
+    integer totals; the share divides two exact ints (window total
+    over the tiny per-source aggregate, not the corpus)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0)))
+        .cast("long")
+        .alias("total_words"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.round(
+            F.col("total_words") / F.sum("total_words").over(Window.partitionBy()),
+            6,
+        ).alias("word_share"),
+    )
