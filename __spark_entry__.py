@@ -47,6 +47,7 @@ _PRIORITY = [
     "similarity_topk_batch",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
+    "embedding_kmeans_centroids",
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",
     "tpch_q6_forecast_revenue",

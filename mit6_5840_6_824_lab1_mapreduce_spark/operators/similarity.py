@@ -258,25 +258,29 @@ def batch_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
-def ivf_refined_centroids(v: DataFrame, n_seeds: int = 8) -> DataFrame:
-    """One k-means (Lloyd) refinement step over quantized vectors:
-    seeds = vectors with vec_id < n_seeds; assign each vector to its
-    nearest seed by exact integer distance (argmin of ||c||² − 2·v·c,
-    ties → smaller cid); new centroid = per-dimension integer mean
-    (rounded half away from zero — int64 ops only, engine-agnostic).
+def seed_centroids(v: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """Deterministic seeds: the first n_seeds vectors by vec_id."""
+    return v.where(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+
+def kmeans_step(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One k-means (Lloyd) step over quantized vectors: assign each
+    vector to its nearest centroid by exact integer distance (argmin
+    of ||c||² − 2·v·c, ties → smaller cid); new centroid =
+    per-dimension integer mean (rounded half away from zero — int64
+    ops only, engine-agnostic, so the iteration is bit-reproducible).
 
     Scale shape: assignment is a broadcast of k centroid rows against
     the corpus (k·n scored rows, map-side only); the mean is a
     posexplode → groupBy(cid, pos) sum — the exploded table shuffles
     on (cid, pos), so a 100 TB corpus spreads across the cluster
     instead of one reducer per centroid."""
-    c0 = v.where(F.col("vec_id") < n_seeds).select(
-        F.col("vec_id").alias("cid"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
-    a0 = ivf_assign(v, c0)
-    ex = v.join(a0, "vec_id").select(
+    a = ivf_assign(v, centroids)
+    ex = v.join(a, "vec_id").select(
         "cid", F.posexplode(F.col("q")).alias("pos", "val")
     )
     sums = ex.groupBy("cid", "pos").agg(
@@ -298,6 +302,26 @@ def ivf_refined_centroids(v: DataFrame, n_seeds: int = 8) -> DataFrame:
         .withColumn("cn2", norm2(F.col("cq")))
     )
     return c1.select("cid", "cq", "cn2", "n_members")
+
+
+def kmeans_train(v: DataFrame, n_seeds: int = 8, n_iter: int = 1) -> DataFrame:
+    """n_iter Lloyd steps from deterministic seeds. Like the
+    connected-components loop, each round truncates lineage
+    (localCheckpoint on the k-row centroid table — k rows, so the
+    checkpoint is trivially small) so the plan does not grow with
+    n_iter; the corpus is only ever traversed by the per-round
+    assign + mean jobs."""
+    c = seed_centroids(v, n_seeds)
+    for _ in range(n_iter):
+        c = kmeans_step(v, c).localCheckpoint()
+    return c
+
+
+def ivf_refined_centroids(v: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """Seeds + one Lloyd step — the IVF index's coarse quantizer
+    (see kmeans_step for the distributed shape)."""
+    c0 = seed_centroids(v, n_seeds)
+    return kmeans_step(v, c0)
 
 
 def ivf_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -234,9 +234,11 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.batch_topk(table(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
-_IVF_SQL = rf"""
-    c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
-    a0 AS (
+def _assign_sql(i: int) -> str:
+    """Nearest-centroid assignment CTE: a{i} assigns every vector to
+    its argmin-distance centroid in c{i}n (exact int64 scores, ties →
+    smaller cid)."""
+    return rf"""a{i} AS (
       SELECT vec_id, cid FROM (
         SELECT n.vec_id, c.cid,
                row_number() OVER (
@@ -245,48 +247,56 @@ _IVF_SQL = rf"""
                             range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i])),
                           c.cid
                ) AS rn
-        FROM n CROSS JOIN c0 c
+        FROM n CROSS JOIN c{i}n c
       ) WHERE rn = 1
-    ),
-    sx AS (
+    )"""
+
+
+def _kmeans_sql(n_iter: int) -> str:
+    """CTE chain for n_iter exact-integer Lloyd steps from the
+    deterministic seeds (vec_id < 8) — the SQL twin of
+    operators.similarity.kmeans_train, one indexed CTE block per
+    round. Ends with a{n_iter}: the assignment to the final
+    centroids."""
+    parts = [
+        "c0n AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8)"
+    ]
+    for i in range(n_iter):
+        j = i + 1
+        parts.append(_assign_sql(i))
+        parts.append(
+            rf"""sx{j} AS (
       SELECT a.cid, generate_subscripts(n.q, 1) AS pos, unnest(n.q) AS val
-      FROM n JOIN a0 a USING (vec_id)
+      FROM n JOIN a{i} a USING (vec_id)
     ),
-    sums AS (
+    sums{j} AS (
       SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS cnt
-      FROM sx GROUP BY cid, pos
+      FROM sx{j} GROUP BY cid, pos
     ),
-    comp AS (
+    comp{j} AS (
       SELECT cid, pos,
              CASE WHEN s >= 0 THEN (2 * s + cnt) // (2 * cnt)
                   ELSE -((2 * (-s) + cnt) // (2 * cnt)) END AS m,
              cnt
-      FROM sums
+      FROM sums{j}
     ),
-    c1 AS (
+    c{j} AS (
       SELECT cid, list(m ORDER BY pos) AS cq, max(cnt) AS n_members
-      FROM comp GROUP BY cid
+      FROM comp{j} GROUP BY cid
     ),
-    c1n AS (
+    c{j}n AS (
       SELECT cid, cq,
              list_sum(list_transform(range(1, len(cq) + 1), i -> cq[i] * cq[i]))
                AS cn2,
              n_members
-      FROM c1
-    ),
-    a1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT n.vec_id, c.cid,
-               row_number() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY c.cn2 - 2 * list_sum(list_transform(
-                            range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i])),
-                          c.cid
-               ) AS rn
-        FROM n CROSS JOIN c1n c
-      ) WHERE rn = 1
-    )
-"""
+      FROM c{j}
+    )"""
+        )
+    parts.append(_assign_sql(n_iter))
+    return ",\n    ".join(parts)
+
+
+_IVF_SQL = _kmeans_sql(1)  # ends at a1: assignment to once-refined c1n
 
 
 @query(
@@ -347,6 +357,33 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         table(spark, sf_dir, "embeddings"), query_vec_id=0, k=7, n_seeds=8, n_probe=2
     )
+
+
+@query(
+    "embedding_kmeans_centroids",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    {_kmeans_sql(2)}
+    SELECT cid, pos, m, cnt AS n_members FROM comp2
+    """,
+)
+def embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training, TWO Lloyd iterations (seed →
+    assign → mean → assign → mean), emitted per (centroid, dimension)
+    — bit-exact across engines because every step is int64 arithmetic
+    (rounded-integer means, exact-integer distances). The Spark loop
+    truncates lineage each round (localCheckpoint on k rows), so
+    n_iter scales without plan growth; the oracle chains the identical
+    round as indexed CTEs. This is the ANN-index/cluster-analysis
+    training loop as a first-class operator, not a one-shot query."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.embeddings_quantized(emb)
+    c2 = S.kmeans_train(v, n_seeds=8, n_iter=2)
+    return c2.select(
+        "cid",
+        F.posexplode(F.col("cq")).alias("pos0", "m"),
+        "n_members",
+    ).select("cid", (F.col("pos0") + 1).alias("pos"), "m", "n_members")
 
 
 @query(

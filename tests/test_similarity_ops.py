@@ -66,3 +66,14 @@ def test_ivf_centroid_members_sum_to_corpus(spark):
     c1 = S.ivf_refined_centroids(v, n_seeds=8)
     total = c1.agg(F.sum("n_members")).collect()[0][0]
     assert total == emb.count()
+
+
+def test_kmeans_members_partition_corpus_at_any_depth(spark):
+    """Every Lloyd iteration must keep the assignment total: member
+    counts partition the corpus after 1 and after 3 rounds."""
+    emb = _emb(spark)
+    v = S.embeddings_quantized(emb)
+    n = emb.count()
+    for it in (1, 3):
+        c = S.kmeans_train(v, n_seeds=8, n_iter=it)
+        assert c.agg(F.sum("n_members")).collect()[0][0] == n, f"n_iter={it}"
