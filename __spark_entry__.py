@@ -43,6 +43,7 @@ _PRIORITY = [
     "decontam_drop_list",
     "text_repetition_stats",
     "corpus_source_mix",
+    "corpus_split_assign",
     "embedding_label_centroids",
     "similarity_topk_batch",
     "similarity_ivf_assign",

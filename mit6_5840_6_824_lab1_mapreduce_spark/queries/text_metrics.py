@@ -435,3 +435,52 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("word_share"),
     )
+
+
+@query(
+    "corpus_split_assign",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1') THEN 'holdout'
+                  ELSE 'train' END AS split,
+             CAST(len(regexp_extract_all(text, '[\p{L}]+')) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM s GROUP BY split, source
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split (~1/8 holdout: salted
+    md5(doc_id) leading hex in {0,1}) with per-(split, source) yield.
+    Hash-based assignment — not rand() — is the reproducibility
+    contract a training pipeline needs: the same document lands in
+    the same split on any engine, run, partitioning, or day; the salt
+    makes independent splits (different salts) uncorrelated. The
+    assignment is embarrassingly parallel; only the tiny audit
+    aggregate shuffles."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                1,
+            ).isin("0", "1"),
+            "holdout",
+        )
+        .otherwise("train")
+        .alias("split"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return s.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
