@@ -55,6 +55,11 @@ _PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
+    # reference-core KV surface (SURVEY §2.4): keep in the hard signal
+    # every round; relational extension rows rotate out instead
+    "kv_final_state",
+    "kv_get_at_seq",
+    "kv_duplicate_suppression",
 ]
 
 

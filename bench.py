@@ -56,6 +56,8 @@ HEADLINE = [
     "similarity_lsh_near_pairs",
     "dedup_embedding_cosine",
     "pipeline_clean_corpus",
+    "decontam_drop_list",
+    "embedding_kmeans_centroids",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_frame_sample",
