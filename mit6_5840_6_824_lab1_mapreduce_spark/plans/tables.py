@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -27,12 +28,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to the
-        # microsecond timestamp DuckDB also sees (ns → µs floor).
+        # events.ts is parquet TIMESTAMP(NANOS). Spark versions that
+        # reject nanos in the vectorized reader honor the legacy conf
+        # and surface ts as a nanos long (convert: ns → µs floor, the
+        # same value DuckDB sees); newer readers ignore the conf and
+        # floor to a TIMESTAMP_NTZ natively. Branch on the resolved
+        # type; both paths end at a plain µs TIMESTAMP (session TZ is
+        # pinned UTC, so the NTZ→TIMESTAMP cast is a reinterpret).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name == "documents":
         # The doc pipelines (shingle/gram/token explode, decode UDFs)
         # do heavy per-row expansion, but the testdata ships documents

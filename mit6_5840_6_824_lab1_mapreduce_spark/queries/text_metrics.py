@@ -484,3 +484,128 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+# Grams appearing in at least this many distinct documents count as
+# boilerplate (template/menu/footer text) rather than content. Tuned
+# to the testdata's df distribution; on a real corpus this is the
+# RefinedWeb-style "shared across many pages" cutoff.
+BOILERPLATE_MIN_DF = 5
+
+
+@query(
+    "text_boilerplate_fraction",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT id, unnest(CASE WHEN len(ts) >= 3
+        THEN list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT id, shingle FROM sh0),
+    gdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    marked AS (
+      SELECT sh.id, CASE WHEN gdf.df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END AS common
+      FROM sh JOIN gdf USING (shingle)
+    )
+    SELECT id AS doc_id,
+           count(*) AS n_grams,
+           CAST(sum(common) AS BIGINT) AS n_common_grams,
+           round(CAST(sum(common) AS BIGINT) * 1.0 / count(*), 6)
+             AS boilerplate_fraction
+    FROM marked GROUP BY id
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's
+    distinct word-3-grams that recur in >= BOILERPLATE_MIN_DF other
+    documents — the signal that separates template/chrome text from
+    content (high fraction → drop or down-weight in a training blend).
+
+    Scale shape: one shingle explode (persisted for its two consumers),
+    a gram-keyed df aggregate, one equi-join back on the gram, and a
+    per-doc rollup — every shuffle is keyed by gram or doc, never a
+    doc×doc product. The df table is the same first-pass aggregate the
+    decontamination pipeline uses."""
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_pairs_df(docs).persist()
+    gdf = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    marked = sh.join(gdf, "shingle").select(
+        "id", (F.col("df") >= BOILERPLATE_MIN_DF).cast("int").alias("common")
+    )
+    return marked.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("common").cast("long").alias("n_common_grams"),
+        F.round(F.sum("common").cast("long") / F.count("*"), 6).alias(
+            "boilerplate_fraction"
+        ),
+    )
+
+
+@query(
+    "ngram_topk_per_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, source,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT id, source, unnest(CASE WHEN len(ts) >= 3
+        THEN list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT id, source, shingle FROM sh0),
+    cnt AS (
+      SELECT source, shingle, count(*) AS df
+      FROM sh GROUP BY source, shingle
+    ),
+    ranked AS (
+      SELECT source, shingle, df,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY df DESC, shingle ASC) AS rk
+      FROM cnt
+    )
+    SELECT source, shingle, df, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ngram_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word-3-grams per source by document frequency — the
+    per-domain boilerplate fingerprint (what phrase does this crawl
+    slice repeat?). Grouped top-k via row_number window over the
+    (source, gram) aggregate: the window partitions by source AFTER
+    the counts collapse, so the sort is over the per-source gram
+    vocabulary, never the exploded corpus. Ties break on the gram
+    string for cross-engine determinism."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts"),
+    )
+    t = F.col("ts")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+    )
+    shingles = F.when(
+        F.size(t) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 2), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select(
+        "id", "source", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    cnt = sh.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("shingle"))
+    return cnt.select(
+        "source", "shingle", "df", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 5)

@@ -6,19 +6,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream the events table (parquet TIMESTAMP(NANOS) → read
-    nanos as long, truncate to microsecond timestamps, as the batch
-    loader does)."""
+    """File-stream the events table (parquet TIMESTAMP(NANOS)).
+
+    Streaming sources need a declared schema, but how the reader
+    surfaces a nanos timestamp differs by Spark version (nanos-as-long
+    under the legacy conf vs a natively µs-floored TIMESTAMP_NTZ), so
+    probe the batch-resolved type once and declare the matching stream
+    schema; both paths emit identical µs `timestamp` values (session
+    TZ is pinned UTC)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(sf_dir).schema["ts"].dataType
+    ts_decl = "long" if isinstance(probed, LongType) else probed.simpleString()
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(probed, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
