@@ -19,16 +19,22 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "wc_wordcount"
 
 # The driver's correctness run caps at 50 queries, taken in dict order.
-# Front-load the families that have not yet appeared in a driver
-# CORRECTNESS file (text_*, multimodal_*, embedding_label_centroids)
-# so every registered query gets hard-signal coverage across rounds;
-# long-stable rows (green in r01+r02) rotate to the back of the window.
+# Front-load every query that has not yet appeared in a driver
+# CORRECTNESS file (r01+r02 union) so each registered query gets
+# hard-signal coverage across rounds; rows green in both r01 and r02
+# rotate to the back of the window.
 _PRIORITY = [
+    # -- never driver-checked as of r02 (locally oracle-green) --
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_repetition_stats",
+    "text_boilerplate_fraction",
+    "ngram_topk_per_source",
+    "corpus_source_mix",
+    "corpus_split_assign",
     "multimodal_asset_meta",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
@@ -41,25 +47,26 @@ _PRIORITY = [
     "pipeline_corpus_stats",
     "decontam_ngram_hits",
     "decontam_drop_list",
-    "text_repetition_stats",
-    "corpus_source_mix",
-    "corpus_split_assign",
     "embedding_label_centroids",
+    "embedding_kmeans_centroids",
     "similarity_topk_batch",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
-    "embedding_kmeans_centroids",
-    "similarity_ann_multiprobe",
-    "similarity_lsh_near_pairs",
+    "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
     # reference-core KV surface (SURVEY §2.4): keep in the hard signal
     # every round; relational extension rows rotate out instead
     "kv_final_state",
     "kv_get_at_seq",
     "kv_duplicate_suppression",
+    # -- rotation seats: checked once (r01), rotating back in --
+    "similarity_ann_multiprobe",
+    "similarity_lsh_near_pairs",
 ]
 
 
