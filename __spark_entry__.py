@@ -59,6 +59,12 @@ _PRIORITY = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
     "tpch_q19_discounted_revenue",
+    # -- new this round (never checked by construction) --
+    "corpus_pack_sequences",
+    "corpus_sample_temperature",
+    "dedup_passage_blocks",
+    "tpch_q14_promo_revenue",
+    "tpch_q9_nation_profit",
     # reference-core KV surface (SURVEY §2.4): keep in the hard signal
     # every round; relational extension rows rotate out instead
     "kv_final_state",

@@ -23,5 +23,6 @@ from . import text_metrics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import decontam  # noqa: E402,F401
+from . import training  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

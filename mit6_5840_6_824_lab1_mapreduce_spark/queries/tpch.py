@@ -995,3 +995,90 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(cond).agg(
         sum_expr(disc_price(), "revenue"), F.count("*").alias("n_items")
     )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=r"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' share of one month's revenue.
+    Month filter pushes to the lineitem scan; part broadcasts;
+    numerator and denominator come from ONE aggregation pass
+    (conditional sum), both in exact decimal before the final
+    double division."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast(MONEY)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(disc_price()).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q9_nation_profit",
+    oracle=r"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                        - CAST(p.p_retailprice AS DECIMAL(18,2))
+                          * CAST(l.l_quantity AS DECIMAL(18,2))
+                          * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE), 2)
+             AS sum_profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND contains(p.p_name, 'red')
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+    The testdata has no partsupp, so supply cost is proxied as 10%
+    of p_retailprice — the join topology (fact through four
+    dimensions, substring filter on part name) is what Q9 exercises.
+    part/supplier/nation broadcast; lineitem->orders is the one
+    shuffled edge; profit sums in exact decimal per (nation, year)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.contains("p_name", F.lit("red"))).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = disc_price() - (
+        F.col("p_retailprice").cast(MONEY)
+        * F.col("l_quantity").cast(MONEY)
+        * F.lit(0.10).cast("decimal(4,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(sum_expr(profit, "sum_profit"))

@@ -1,0 +1,234 @@
+"""Training-blend assembly ops over ``documents``: the steps between
+a cleaned corpus and actual training batches — sequence packing,
+temperature-weighted source sampling, and repeated-passage detection.
+
+These are the ops a pre-training data pipeline runs AFTER dedup /
+quality filtering (queries/dedup.py, queries/pipeline.py) to turn the
+surviving documents into a token-budgeted, source-balanced stream.
+
+Scale notes (100 TB posture):
+- packing is per-shard: contiguous token packing is inherently
+  sequential WITHIN a stream, so the corpus is sharded first
+  (hash of doc_id) and each shard packs independently — the window
+  partitions by shard, so parallelism = shard count, exactly how
+  production packers write one tokenized shard per worker;
+- temperature sampling is a two-pass plan: a per-source count
+  aggregate (tiny — one row per source) broadcast back against the
+  corpus, then a deterministic per-doc hash threshold — no shuffle
+  of the documents themselves at all;
+- passage fingerprinting explodes to non-overlapping fixed-size
+  blocks (corpus tokens / BLOCK rows — linear, not quadratic) and
+  aggregates by block hash, the same bounded explode-aggregate shape
+  as the shingle pipelines in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import table
+from .registry import query
+
+# Tokens per packed training sequence (a toy stand-in for 2048/4096;
+# the math is budget-independent) and shard fan-out for parallel
+# packing. At corpus scale, raise PACK_SHARDS to the writer count.
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+TOKEN_RE = r"[\p{L}]+"
+
+
+def _tokens() -> F.Column:
+    return F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT) AS seq_last,
+           CAST(floor((cum - 1) / {PACK_BUDGET}.0)
+                - floor((cum - n_tokens) / {PACK_BUDGET}.0) + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: lay each shard's documents end to
+    end in doc_id order and cut the token stream every PACK_BUDGET
+    tokens — each document lands in sequences [seq_first, seq_last]
+    (n_seqs > 1 means it straddles a boundary and is split across
+    training sequences, the standard packing tradeoff).
+
+    The running token offset is a per-shard window cumulative sum —
+    integer-exact, and parallel across shards (contiguity is only
+    promised within a shard, which is what real packers deliver:
+    one output shard per writer)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    seq_first = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    seq_last = F.floor((F.col("cum") - 1) / PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
+    )
+
+
+# Temperature exponent for source rebalancing: keep probability
+# (n_min / n_source)^(1 - ALPHA) — the smallest source is kept whole,
+# larger sources are downsampled toward a flatter mix (ALPHA=1 keeps
+# the natural distribution; ALPHA=0 targets uniform).
+SAMPLE_ALPHA = 0.5
+
+
+@query(
+    "corpus_sample_temperature",
+    oracle=rf"""
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    p AS (
+      SELECT source, n_docs,
+             pow(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs,
+                 1 - {SAMPLE_ALPHA}) AS target_rate
+      FROM s
+    ),
+    kept AS (
+      SELECT d.source,
+             CASE WHEN CAST(('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                           AS UBIGINT) / 4294967296.0 < p.target_rate
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN p USING (source)
+    )
+    SELECT p.source, p.n_docs, round(p.target_rate, 6) AS target_rate,
+           CAST(sum(k.keep) AS BIGINT) AS n_kept
+    FROM kept k JOIN p USING (source)
+    GROUP BY p.source, p.n_docs, p.target_rate
+    """,
+)
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling: per-source keep rate
+    (n_min/n_source)^(1-ALPHA), decided per document by a
+    deterministic md5 threshold — reproducible sampling with no RNG
+    state, the way production blends pin a sampling seed.
+
+    Plan shape: per-source counts are one tiny aggregate (a row per
+    source) joined back broadcast; the keep decision is a per-row
+    expression. Nothing shuffles the corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    p = s.select(
+        "source",
+        "n_docs",
+        F.pow(
+            F.min("n_docs").over(Window.partitionBy()).cast("double")
+            / F.col("n_docs"),
+            1 - SAMPLE_ALPHA,
+        ).alias("target_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = d.join(F.broadcast(p), "source").select(
+        "source", "n_docs", "target_rate", (u < F.col("target_rate")).cast("int").alias("keep")
+    )
+    return kept.groupBy("source", "n_docs", F.round("target_rate", 6).alias("target_rate")).agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    )
+
+
+# Non-overlapping passage block size (tokens). Exact block-hash
+# matches across documents flag copied passages — the substring-level
+# duplication that document-level dedup (exact or MinHash) misses.
+PASSAGE_BLOCK = 16
+
+
+@query(
+    "dedup_passage_blocks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\p{{L}}]+') AS ts
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(floor(len(ts) / {PASSAGE_BLOCK}.0) AS BIGINT)),
+               i -> md5(array_to_string(
+                      ts[i * {PASSAGE_BLOCK} + 1 : i * {PASSAGE_BLOCK} + {PASSAGE_BLOCK}],
+                      ' ')))) AS block_hash
+      FROM toks
+    ),
+    db AS (SELECT DISTINCT doc_id, block_hash FROM blocks),
+    bdf AS (SELECT block_hash, count(*) AS df FROM db GROUP BY block_hash)
+    SELECT db.doc_id,
+           count(*) AS n_blocks,
+           CAST(sum(CASE WHEN bdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_blocks
+    FROM db JOIN bdf USING (block_hash)
+    GROUP BY db.doc_id
+    """,
+)
+def dedup_passage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection: hash non-overlapping
+    PASSAGE_BLOCK-token blocks and count, per document, how many of
+    its distinct blocks also occur in another document — the signal
+    for stripping boilerplate passages that survive document-level
+    dedup because the surrounding text differs.
+
+    Linear explode (corpus_tokens / BLOCK rows), block-hash-keyed
+    aggregate, one equi-join back — the bounded shingle shape, never
+    doc x doc."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("ts")
+    )
+    n_blocks = F.floor(F.size("ts") / PASSAGE_BLOCK).cast("int")
+    block_hashes = F.when(
+        n_blocks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("ts", i * PASSAGE_BLOCK + 1, PASSAGE_BLOCK))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = (
+        toks.select("doc_id", F.explode(block_hashes).alias("block_hash"))
+        .distinct()
+    )
+    bdf = db.groupBy("block_hash").agg(F.count("*").alias("df"))
+    return (
+        db.join(bdf, "block_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("long").alias("n_shared_blocks"),
+        )
+    )
