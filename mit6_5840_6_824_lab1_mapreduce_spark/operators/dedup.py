@@ -87,7 +87,15 @@ def minhash_signature_df(pairs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """k-permutation MinHash via seeded md5: sig_i = min(md5('i|' || s)).
 
     Lexicographic min over hex digests is a valid min-hash family and
-    is engine-portable. One shuffle (groupBy id), k aggregates."""
+    is engine-portable. One shuffle (groupBy id), k aggregates.
+
+    The explode+groupBy form is deliberate: a map-side alternative
+    (array_min over k HOF transforms per row) avoids the shuffle but
+    re-walks the shingle array k times in interpreted lambda
+    evaluation (no codegen inside HOF bodies) and measured ~4x SLOWER
+    at bench scale — the exploded aggregate keeps all k seeded md5s
+    in one whole-stage-codegen pass with map-side partial mins, so
+    the only shuffle it pays is one row per doc."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -205,18 +213,31 @@ def minhash_lsh_dedup_pairs(
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: near-duplicate pairs above `threshold`
-    Jaccard on word 3-gram shingles. Scales as three equi-joins —
-    shingle explode, band bucket join, verify join — all shuffle-
-    partitioned by their keys; nothing quadratic, nothing on the driver."""
-    # The distinct (id, shingle) table feeds four consumers (signature,
-    # per-doc counts, and both sides of the verify join); Catalyst does
-    # not reuse the exchange across them (0 ReusedExchange in the
-    # physical plan), so persist it once — MEMORY_AND_DISK spills
-    # gracefully at cluster scale, where this table is also the thing
-    # you would checkpoint between pipeline stages.
-    sh = shingle_pairs_df(docs, id_col, text_col).persist()
-    sig = minhash_signature_df(sh)
-    cands = lsh_candidate_pairs(lsh_bands_df(sig), max_bucket_size=max_bucket_size)
+    Jaccard on word 3-gram shingles.
+
+    Scale shape (the 100 TB contract):
+    - signature generation streams the shingle explode straight into
+      the 16-min aggregate (map-side partial mins, one shuffle of
+      one row per doc) — the exploded table is NEVER persisted or
+      re-read; corpus text flows through exactly once;
+    - the shingle explode for Jaccard verification runs ONLY for
+      documents that appear in some candidate pair (semi-join on the
+      candidate id set) — verify cost tracks the near-duplicate
+      rate, not the corpus size;
+    - candidates persist (tiny: pairs past LSH banding); nothing
+      corpus-sized is ever cached."""
+    sig = minhash_signature_df(shingle_pairs_df(docs, id_col, text_col))
+    cands = lsh_candidate_pairs(
+        lsh_bands_df(sig), max_bucket_size=max_bucket_size
+    ).persist()
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    # Distinct (id, shingle) pairs for candidate docs feed three
+    # consumers (per-doc counts + both verify sides); Catalyst does
+    # not reuse the exchange across them, so persist once.
+    sh = shingle_pairs_df(cand_docs, id_col, text_col).persist()
     return jaccard_verified_pairs(cands, sh, threshold)
 
 
