@@ -62,6 +62,16 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "text_boilerplate_fraction",
+    "ngram_topk_per_source",
+    "corpus_pack_sequences",
+    "corpus_sample_temperature",
+    "dedup_passage_blocks",
 ]
 
 
