@@ -232,3 +232,77 @@ def dedup_passage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("df") >= 2).cast("int")).cast("long").alias("n_shared_blocks"),
         )
     )
+
+
+# Overlapping chunking for embedding/retrieval prep: windows of
+# CHUNK_TOKENS tokens advancing by CHUNK_STRIDE (< CHUNK_TOKENS →
+# consecutive chunks overlap, preserving context across boundaries).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\p{{L}}]+') AS ts
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(ts) AS doc_tokens,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(CAST(len(ts) - {CHUNK_TOKENS} AS BIGINT), 0)
+                                  / {CHUNK_STRIDE}.0) AS BIGINT) + 1),
+               i -> struct_pack(
+                 chunk_idx := i,
+                 start_tok := i * {CHUNK_STRIDE},
+                 n_tokens := least(len(ts) - i * {CHUNK_STRIDE}, {CHUNK_TOKENS}),
+                 chunk_hash := md5(array_to_string(
+                   ts[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                   ' '))))) AS c
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id, doc_tokens,
+           CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(c.start_tok AS BIGINT) AS start_tok,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           c.chunk_hash
+    FROM chunks
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the embedding/retrieval prep
+    op): every document yields ceil(max(len-CHUNK,0)/STRIDE)+1 windows
+    of up to CHUNK_TOKENS tokens starting every CHUNK_STRIDE —
+    adjacent chunks share CHUNK_TOKENS - CHUNK_STRIDE tokens of
+    context, and the last window always reaches the document's final
+    token (ceil, not floor: a floor here silently drops the tail). The
+    result carries offsets + an md5 of the chunk text (not the text
+    itself — at corpus scale the chunk table is written columnar and
+    the text rematerializes by offset on demand).
+
+    Pure per-row explode (linear in corpus tokens / STRIDE); no
+    shuffle at all — chunking fuses into the scan stage."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("ts")
+    ).where(F.size("ts") > 0)
+    n_chunks = (
+        F.ceil(F.greatest(F.size("ts") - CHUNK_TOKENS, F.lit(0)) / CHUNK_STRIDE) + 1
+    ).cast("int")
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.cast("long").alias("chunk_idx"),
+        (i * CHUNK_STRIDE).cast("long").alias("start_tok"),
+        F.least(F.size("ts") - i * CHUNK_STRIDE, F.lit(CHUNK_TOKENS))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("ts", i * CHUNK_STRIDE + 1, CHUNK_TOKENS))
+        ).alias("chunk_hash"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("doc_tokens"),
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+        ).alias("c"),
+    ).select("doc_id", "doc_tokens", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_hash")
