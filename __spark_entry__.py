@@ -64,6 +64,7 @@ _PRIORITY = [
     "corpus_sample_temperature",
     "dedup_passage_blocks",
     "corpus_chunk_windows",
+    "corpus_stratified_sample",
     "tpch_q14_promo_revenue",
     "tpch_q9_nation_profit",
     # reference-core KV surface (SURVEY §2.4): keep in the hard signal

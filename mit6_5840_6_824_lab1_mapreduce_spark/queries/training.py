@@ -306,3 +306,41 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
         ).alias("c"),
     ).select("doc_id", "doc_tokens", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_hash")
+
+
+# Per-stratum sample size for eval-set construction.
+STRAT_K = 3
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=rf"""
+    SELECT source, lang, doc_id, rk FROM (
+      SELECT source, lang, doc_id,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {STRAT_K}
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: up to STRAT_K docs per
+    (source, lang) stratum, chosen by md5 hash order — a seeded
+    uniform draw with no RNG state, the way eval/holdout slices are
+    cut so every stratum is represented regardless of its size.
+
+    One window per stratum over hash order; at scale this is a
+    shuffle by (source, lang) followed by a per-partition top-k heap
+    (WindowGroupLimit pushes rk <= K before the sort materializes) —
+    never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("source", "lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRAT_K)
+    )
