@@ -181,3 +181,43 @@ def test_non_ascii_document_fails_fast(spark):
     )
     with pytest.raises(Exception, match="non-ASCII text in doc_id=2"):
         assets_from_documents(docs).collect()
+
+
+def test_binary_file_source_to_asset_schema(spark, tmp_path):
+    """binaryFile ingestion edge: a directory of real WAV files (plus
+    a file of unknown type) lands in the asset schema with correct
+    modality, byte counts, digests — and the unknown extension maps
+    to NULL modality, not a guess. The decoded features of an
+    ingested file equal decoding its payload directly (the source
+    adds nothing and loses nothing)."""
+    import hashlib
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+        extract_features,
+        wav_payload,
+    )
+    from mit6_5840_6_824_lab1_mapreduce_spark.sources import read_binary_assets
+
+    payloads = {f"a{i}.wav": wav_payload(i) for i in range(3)}
+    payloads["notes.txt"] = b"not a media file"
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {r.asset_id: r for r in assets.collect()}
+    assert len(rows) == 4
+    by_digest = {r.meta.digest: r for r in rows.values()}
+    for name, blob in payloads.items():
+        r = by_digest[hashlib.md5(blob).hexdigest()]
+        assert r.meta.n_bytes == len(blob)
+        assert bytes(r.content) == blob
+        assert r.modality == ("audio" if name.endswith(".wav") else None)
+
+    wavs = assets.where(assets.modality == "audio")
+    feat_rows = extract_features(wavs, fake=False).collect()
+    assert len(feat_rows) == 3
+    one = wavs.limit(1).collect()[0]
+    direct = decode_asset(bytes(one.content), "audio", fake=False)
+    via_df = [r.feature for r in feat_rows if r.asset_id == one.asset_id][0]
+    assert list(via_df) == list(direct)
