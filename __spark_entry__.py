@@ -65,8 +65,10 @@ _PRIORITY = [
     "dedup_passage_blocks",
     "corpus_chunk_windows",
     "corpus_stratified_sample",
+    "corpus_mixture_plan",
     "tpch_q14_promo_revenue",
     "tpch_q9_nation_profit",
+    "tpch_q2_min_cost_supplier",
     # reference-core KV surface (SURVEY §2.4): keep in the hard signal
     # every round; relational extension rows rotate out instead
     "kv_final_state",

@@ -1082,3 +1082,66 @@ def tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
     ).agg(sum_expr(profit, "sum_profit"))
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=r"""
+    WITH px AS (
+      SELECT p.p_partkey, p.p_type, p.p_size,
+             s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'ECONOMY' AND p.p_size <= 5
+      GROUP BY ALL
+    ),
+    best AS (
+      SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS best_bal
+      FROM px
+    )
+    SELECT p_partkey, s_suppkey, s_name, nation,
+           round(CAST(s_acctbal AS DOUBLE), 2) AS acctbal
+    FROM best WHERE s_acctbal = best_bal
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) with
+    the minimum account balance among those that actually supply it
+    (the testdata has no partsupp, so the part↔supplier edge derives
+    from lineitem and s_acctbal stands in for ps_supplycost; the shape
+    — correlated min over a second table, decorrelated to a window —
+    is what Q2 exercises).
+
+    Plan: part filter pushes to the scan and prunes the lineitem join
+    early; supplier/nation broadcast; the distinct part-supplier edge
+    collapses lineitem duplicates BEFORE the window, so the argmin
+    runs over edges, not line items. Ties keep all minimal suppliers
+    (deterministic output; the SQL standard's Q2 does the same)."""
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    edges = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_partkey", "l_suppkey")
+        .distinct()
+    )
+    px = edges.join(F.broadcast(s), edges.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        px.withColumn("best_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("best_bal"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
+        )
+    )

@@ -344,3 +344,64 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "lang", "doc_id", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= STRAT_K)
     )
+
+
+# Token budget for the mixture plan (a stand-in for e.g. 10T tokens).
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=rf"""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '[\p{{L}}]+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *,
+             pow(total_tokens, {SAMPLE_ALPHA}) /
+               sum(pow(total_tokens, {SAMPLE_ALPHA})) OVER () AS target_share
+      FROM s
+    )
+    SELECT source, n_docs, total_tokens,
+           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6)
+             AS natural_share,
+           round(target_share, 6) AS target_share,
+           round(target_share * {MIX_BUDGET_TOKENS} / total_tokens, 6)
+             AS epochs
+    FROM w
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table a training run is configured from: per
+    source, its natural token share, its temperature-adjusted target
+    share (∝ tokens^ALPHA — flattens the head, boosts the tail), and
+    the implied epoch count over that source at MIX_BUDGET_TOKENS
+    (epochs > 1 ⇒ the source repeats; the standard small-source
+    upsampling signal).
+
+    One corpus aggregate (per-source token sums); every window below
+    it runs over the tiny per-source table. The corpus shuffles
+    once, by source."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
+    )
+    wall = Window.partitionBy()
+    target = F.pow("total_tokens", SAMPLE_ALPHA) / F.sum(
+        F.pow("total_tokens", SAMPLE_ALPHA)
+    ).over(wall)
+    return s.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.sum("total_tokens").over(wall), 6).alias(
+            "natural_share"
+        ),
+        F.round(target, 6).alias("target_share"),
+        F.round(target * MIX_BUDGET_TOKENS / F.col("total_tokens"), 6).alias("epochs"),
+    )
