@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.kv import dedup_ops, replay_final_state
+from ..operators.kv import replay_final_state
 from ..plans import table
 from .registry import query
 

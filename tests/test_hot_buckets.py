@@ -9,7 +9,6 @@ oversized are lost; pairs sharing any normal-sized bucket survive.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from mit6_5840_6_824_lab1_mapreduce_spark.operators.dedup import (
     lsh_bands_df,

@@ -22,7 +22,6 @@ from mit6_5840_6_824_lab1_mapreduce_spark.streaming import (
 )
 from mit6_5840_6_824_lab1_mapreduce_spark.streaming.windows import read_events_stream
 from mit6_5840_6_824_lab1_mapreduce_spark.queries.events import events_hourly_agg
-from mit6_5840_6_824_lab1_mapreduce_spark.queries.kv import ops_from_events
 
 from .conftest import SF_SMOKE
 from .test_kv import SCHEMA, _gen_ops
