@@ -66,6 +66,7 @@ _PRIORITY = [
     "corpus_chunk_windows",
     "corpus_stratified_sample",
     "corpus_mixture_plan",
+    "events_outlier_stats",
     "tpch_q14_promo_revenue",
     "tpch_q9_nation_profit",
     "tpch_q2_min_cost_supplier",

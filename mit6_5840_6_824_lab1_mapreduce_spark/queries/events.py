@@ -403,3 +403,67 @@ def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("sum_value"),
         )
     )
+
+
+@query(
+    "events_outlier_stats",
+    oracle=r"""
+    WITH st AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (n - 1)) AS sd
+      FROM st WHERE n >= 2
+    )
+    SELECT e.event_type, any_value(m.n) AS n,
+           round(any_value(m.mean), 6) AS mean,
+           round(any_value(m.sd), 6) AS stddev,
+           CAST(sum(CASE WHEN abs(e.value - m.mean) > 3 * m.sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outlier screen — the metric-anomaly first
+    pass. Mean and stddev derive from EXACT decimal sum / sum-of-
+    squares (one aggregate; order-independent, so the result is
+    stable under any partitioning), then the tiny per-type stats
+    table broadcasts back for the outlier count — two shuffles of
+    one row per event type each, one corpus pass per side.
+
+    (A naive avg()/stddev() over doubles would hash-mismatch across
+    engines: float summation order differs; the decimal-sums-first
+    form is the determinism contract from queries/_util.py.)"""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("sq"),
+    ).where(F.col("n") >= 2)
+    m = st.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    return j.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.round(F.any_value("mean"), 6).alias("mean"),
+        F.round(F.any_value("sd"), 6).alias("stddev"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")).cast("int")
+        ).cast("long").alias("n_outliers"),
+    )

@@ -202,3 +202,13 @@ def test_q18_aggregates_before_join(spark):
     plan = _plan(spark, "tpch_q18_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
     assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+
+
+def test_stratified_sample_and_topk_push_window_limit(spark):
+    """Grouped top-k queries (hash-ordered stratified sample, per-
+    source gram top-5) must plan as WindowGroupLimit — each task
+    retains only its local top-k per stratum before the shuffle,
+    instead of shipping and fully sorting every row in each
+    partition."""
+    for name in ("corpus_stratified_sample", "ngram_topk_per_source"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
