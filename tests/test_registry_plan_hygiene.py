@@ -1,0 +1,65 @@
+"""Whole-registry structural guarantees: for EVERY registered query,
+the physical plan must be free of the two patterns that do not
+survive scale — cartesian products and row-at-a-time Python
+evaluation — and Arrow-batched Python stages may appear only in the
+multimodal family, whose decode step is Python by design.
+
+(The oracle-parity suite proves the answers right; this suite proves
+the plans stay right as queries are added or refactored.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+# Arrow mapInPandas is the documented implementation for these; all
+# other queries must be 100% JVM-side. (multimodal_asset_meta and
+# multimodal_frame_sample are deliberately NOT here: they are
+# metadata-only / byte-expression paths, and their plans proving
+# payloads never reach Python is part of the design.)
+PYTHON_REQUIRED = {
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_audio_decode",
+}
+
+# BroadcastNestedLoopJoin is sanctioned ONLY where the build side is
+# bounded by construction — a scalar subquery (one row) or a fixed
+# small batch — so the "nested loop" is a constant-time probe per row:
+#   similarity_topk_batch / _bruteforce / ann_multiprobe / ivf_*:
+#     fixed query batch, probe table, or centroid list broadcast;
+#   dedup_embedding_cosine: the B×B block-pair table (bounded by the
+#     block-count constant, not the corpus);
+#   inactive_rich_customers / text_tfidf_top_terms / kv_get_at_seq:
+#     scalar aggregate (corpus avg / total doc count / snapshot seq)
+#     joined as a 1-row broadcast.
+BNLJ_ALLOWED = {
+    "similarity_topk_batch",
+    "similarity_topk_bruteforce",
+    "similarity_ann_multiprobe",
+    "similarity_ivf_assign",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "inactive_rich_customers",
+    "text_tfidf_top_terms",
+    "kv_get_at_seq",
+}
+
+CASES = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_plan_is_scale_clean(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    has_python = "ArrowEvalPython" in plan or "BatchEvalPython" in plan or "MapInPandas" in plan
+    if name in PYTHON_REQUIRED:
+        assert has_python, f"{name}: expected an Arrow Python stage"
+    else:
+        assert not has_python, f"{name}: unexpected Python stage"
