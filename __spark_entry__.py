@@ -75,6 +75,7 @@ _PRIORITY = [
     "kv_final_state",
     "kv_get_at_seq",
     "kv_duplicate_suppression",
+    "kv_client_stats",
     # -- rotation seats: checked once (r01), rotating back in --
     "similarity_ann_multiprobe",
     "similarity_lsh_near_pairs",

@@ -159,3 +159,51 @@ def kv_duplicate_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ops"),
         F.sum("suppressed").cast("long").alias("n_suppressed"),
     )
+
+
+@query(
+    "kv_client_stats",
+    oracle=rf"""
+    WITH ops AS ({_OPS_SQL}),
+    marked AS (
+      SELECT *, max(request_id) OVER (
+                  PARTITION BY client_id ORDER BY seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+      FROM ops WHERE op <> 'Get'
+    )
+    SELECT client_id,
+           count(*) AS n_mutations,
+           CAST(sum(CASE WHEN hw IS NOT NULL AND request_id <= hw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+           max(request_id) AS request_high_water,
+           count(DISTINCT key) AS n_keys_touched
+    FROM marked GROUP BY client_id
+    """,
+)
+def kv_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 observability: per client, how many mutations arrived, how
+    many the exactly-once rule suppressed as duplicates, the request
+    high-water mark, and key-touch fan-out — the server-side dedup
+    counters an operator dashboards when diagnosing clerk retry
+    storms (reference keeps exactly this state per client,
+    src/kvraft/server.go:128-134; this query exposes it).
+
+    Same single client-partitioned window as the replay path, then a
+    per-client aggregate — state never leaves the executors."""
+    ops = ops_from_events(spark, sf_dir)
+    muts = ops.where(F.col("op") != "Get")
+    w = (
+        Window.partitionBy("client_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = muts.withColumn("hw", F.max("request_id").over(w))
+    suppressed = (
+        F.col("hw").isNotNull() & (F.col("request_id") <= F.col("hw"))
+    ).cast("int")
+    return marked.groupBy("client_id").agg(
+        F.count("*").alias("n_mutations"),
+        F.sum(suppressed).cast("long").alias("n_suppressed"),
+        F.max("request_id").alias("request_high_water"),
+        F.countDistinct("key").alias("n_keys_touched"),
+    )
