@@ -67,6 +67,7 @@ _PRIORITY = [
     "corpus_stratified_sample",
     "corpus_mixture_plan",
     "events_outlier_stats",
+    "events_salted_type_stats",
     "tpch_q14_promo_revenue",
     "tpch_q9_nation_profit",
     "tpch_q2_min_cost_supplier",

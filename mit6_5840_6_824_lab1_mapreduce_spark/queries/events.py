@@ -467,3 +467,44 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")).cast("int")
         ).cast("long").alias("n_outliers"),
     )
+
+
+@query(
+    "events_salted_type_stats",
+    oracle=r"""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over the hottest key in the
+    testdata (5 event types × the whole table — every group is a hot
+    key): phase 1 aggregates by (type, salt) spreading each type over
+    16 reducers, phase 2 recombines partials by type. The oracle is
+    the PLAIN group-by — the driver's hash compare is exactly the
+    proof that salting is semantics-preserving (salt never leaks into
+    results, exact decimal partials recombine losslessly).
+
+    This is the skew escape hatch for aggregates whose partial state
+    AQE can't shrink map-side; here it doubles as its own
+    correctness demonstration."""
+    from ..operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            (F.count("*"), F.sum("n"), "n"),
+            (F.sum(v), F.sum("tv"), "tv"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("tv").cast("double"), 2).alias("total_value"),
+    )
