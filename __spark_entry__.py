@@ -43,6 +43,7 @@ _PRIORITY = [
     "dedup_exact_keep",
     "dedup_oversized_buckets",
     "dedup_minhash_keep",
+    "dedup_pair_source_matrix",
     "pipeline_clean_corpus",
     "pipeline_corpus_stats",
     "decontam_ngram_hits",

@@ -414,3 +414,63 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .select(F.col("component").alias("doc_id"), "cluster_size")
     )
+
+
+@query(
+    "dedup_pair_source_matrix",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    jpairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM jpairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """,
+)
+def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication come from: near-dup pairs rolled up to
+    an unordered source×source matrix — diagonal entries are
+    intra-source duplication (mirrors, re-crawls), off-diagonal are
+    cross-source (syndication) — the report that decides which crawl
+    slices to drop wholesale before paying for per-doc dedup.
+
+    Pair ids join back to the (tiny) doc→source projection; sources
+    are normalized least/greatest so each unordered pair counts once.
+    Adds one broadcast-sized join per side on top of the standard
+    pair pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"})
+    sb = src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
