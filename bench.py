@@ -81,9 +81,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session on the smallest query so first-query timing
-    # isn't dominated by executor startup.
+    # Warm the JVM/session so first-query timing isn't dominated by
+    # one-time costs that say nothing about operator throughput: one
+    # bench-scale scan (executor startup), then smoke-scale (sf0.001)
+    # passes over one query per plan family — codegen + JIT for the
+    # join/window/HOF/explode paths compile once here instead of
+    # inside the first heavy query's measurement.
     REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir).count()
+    warm_sf = "/root/testdata/sf0.001"
+    for warm_q in (
+        "dedup_minhash_lsh",        # shingle explode + band join + verify
+        "tpch_q3_shipping_priority",  # broadcast star + agg + top-k
+        "orders_top3_per_customer",   # window rank
+    ):
+        REGISTRY[warm_q].fn(spark, warm_sf).count()
     # Warm the Python worker pool (one pandas/pyarrow import per core):
     # Arrow-UDF stages otherwise pay ~8s of one-time fork+import cost
     # that says nothing about operator throughput.
