@@ -78,9 +78,10 @@ _PRIORITY = [
     "kv_get_at_seq",
     "kv_duplicate_suppression",
     "kv_client_stats",
-    # -- rotation seats: checked once (r01), rotating back in --
-    "similarity_ann_multiprobe",
-    "similarity_lsh_near_pairs",
+    # exactly 50 entries above — the window is 100% never-checked
+    # queries + the pinned KV core this round; r01-green rows
+    # (similarity_ann_multiprobe, similarity_lsh_near_pairs, wc, ...)
+    # rotate back in next round once the backlog clears
 ]
 
 

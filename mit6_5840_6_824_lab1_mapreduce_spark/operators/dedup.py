@@ -36,9 +36,17 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, LETTER_SPLIT_RE), lambda t: t != F.lit(""))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles (empty if fewer than n tokens)."""
-    t = tokens(col)
+def gram_windows(t: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over a PRE-MATERIALIZED
+    token-array column (empty array if fewer than n tokens).
+
+    Takes the array column, NOT raw text: higher-order-function
+    lambdas re-evaluate their operand subtree per reference, so a
+    helper that tokenized inline would pay ~n tokenizations per gram
+    (measured 7x at bench scale). Every word-gram construction in the
+    repo (shingles, bigram repetition, per-source gram top-k) goes
+    through here so the window shape can never drift between the
+    pipelines and their SQL oracles."""
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(n)]
     )
@@ -66,14 +74,7 @@ def shingle_pairs_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     lambda: higher-order-function lambdas re-evaluate their operand
     subtree per reference, so inlining tokens(text) here costs ~3
     tokenizations per gram (measured 7× slowdown at bench scale)."""
-    t = F.col("ts")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j) for j in range(n)]
-    )
-    shingles = F.when(
-        F.size(t) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = gram_windows(F.col("ts"), n)
     # Dedup happens per-doc INSIDE the row (array_distinct before the
     # explode) — a narrow map-side op, not a cluster-wide distinct
     # shuffle. A groupBy-distinct here cost more than the rest of the

@@ -418,8 +418,8 @@ def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
     m AS (
       SELECT event_type, n,
              CAST(s AS DOUBLE) / n AS mean,
-             sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                  / (n - 1)) AS sd
+             sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                           / (n - 1), 0)) AS sd
       FROM st WHERE n >= 2
     )
     SELECT e.event_type, any_value(m.n) AS n,
@@ -453,9 +453,18 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        # greatest(..., 0): float cancellation on a (near-)constant group
+        # can push the radicand to ~-1e-6; DuckDB's sqrt raises on
+        # negatives (Spark would emit NaN) — clamp on BOTH sides.
         F.sqrt(
-            (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
-            / (F.col("n") - 1)
+            F.greatest(
+                (
+                    F.col("sq").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
         ).alias("sd"),
     )
     j = ev.join(F.broadcast(m), "event_type")

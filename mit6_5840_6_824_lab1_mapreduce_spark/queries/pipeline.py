@@ -142,7 +142,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     + r"""
     SELECT verdict, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(avg(quality_score), 6) AS mean_quality
+           round(CAST(sum(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_quality
     FROM v GROUP BY verdict
     """,
 )
@@ -156,6 +157,14 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            # exact-decimal sum / count, not avg over doubles: float
+            # summation order would leak partitioning into the output
+            # (quality_score is already rounded to 6dp, so the decimal
+            # cast is lossless-deterministic on both engines)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(12,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
         )
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
 from ..plans import table
 from .registry import query
 
@@ -368,16 +369,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_distinct_words"),
         F.max("cnt").cast("long").alias("top_cnt"),
     )
-    bigrams = F.when(
-        F.size("ws") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = w.select("doc_id", bigrams.alias("bgs"))
+    bg = w.select("doc_id", D.gram_windows(F.col("ws"), 2).alias("bgs"))
     return (
         agg.join(bg, "doc_id")
         .select(
@@ -593,16 +585,10 @@ def ngram_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts"),
     )
-    t = F.col("ts")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-    )
-    shingles = F.when(
-        F.size(t) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(t) - 2), gram),
-    ).otherwise(F.array().cast("array<string>"))
     sh = toks.select(
-        "id", "source", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "id",
+        "source",
+        F.explode(F.array_distinct(D.gram_windows(F.col("ts"), 3))).alias("shingle"),
     )
     cnt = sh.groupBy("source", "shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("shingle"))

@@ -112,8 +112,7 @@ SAMPLE_ALPHA = 0.5
     WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     p AS (
       SELECT source, n_docs,
-             pow(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs,
-                 1 - {SAMPLE_ALPHA}) AS target_rate
+             sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs) AS target_rate
       FROM s
     ),
     kept AS (
@@ -143,10 +142,13 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = s.select(
         "source",
         "n_docs",
-        F.pow(
+        # sqrt, not pow(x, 1-ALPHA): with ALPHA=0.5 they are the same
+        # function, but IEEE requires sqrt to be correctly rounded while
+        # pow may differ in the last ulp BETWEEN ENGINES — and the
+        # per-doc keep decision compares u < target_rate exactly.
+        F.sqrt(
             F.min("n_docs").over(Window.partitionBy()).cast("double")
-            / F.col("n_docs"),
-            1 - SAMPLE_ALPHA,
+            / F.col("n_docs")
         ).alias("target_rate"),
     )
     u = (
@@ -362,9 +364,13 @@ MIX_BUDGET_TOKENS = 1_000_000
     ),
     w AS (
       SELECT *,
-             pow(total_tokens, {SAMPLE_ALPHA}) /
-               sum(pow(total_tokens, {SAMPLE_ALPHA})) OVER () AS target_share
+             CAST(round(sqrt(total_tokens), 6) AS DECIMAL(28,6)) AS wgt
       FROM s
+    ),
+    t AS (
+      SELECT *, CAST(wgt AS DOUBLE) / CAST(sum(wgt) OVER () AS DOUBLE)
+                  AS target_share
+      FROM w
     )
     SELECT source, n_docs, total_tokens,
            round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6)
@@ -372,7 +378,7 @@ MIX_BUDGET_TOKENS = 1_000_000
            round(target_share, 6) AS target_share,
            round(target_share * {MIX_BUDGET_TOKENS} / total_tokens, 6)
              AS epochs
-    FROM w
+    FROM t
     """,
 )
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,9 +398,11 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
     )
     wall = Window.partitionBy()
-    target = F.pow("total_tokens", SAMPLE_ALPHA) / F.sum(
-        F.pow("total_tokens", SAMPLE_ALPHA)
-    ).over(wall)
+    # weights are sqrt (IEEE-exact cross-engine, = tokens^ALPHA for
+    # ALPHA=0.5) rounded to 6dp and summed as EXACT decimals — a raw
+    # double window-sum would make target_share depend on row order
+    wgt = F.round(F.sqrt("total_tokens"), 6).cast("decimal(28,6)")
+    target = wgt.cast("double") / F.sum(wgt).over(wall).cast("double")
     return s.select(
         "source",
         "n_docs",

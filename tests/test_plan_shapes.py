@@ -198,10 +198,21 @@ def test_q6_all_filters_pushed(spark):
 def test_q18_aggregates_before_join(spark):
     """Q18's HAVING aggregate must run before the joins (only big
     orders reach orders/customer) and top-10 must be
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. The plan prints top-down (root first), so
+    "aggregate feeds the join" = the LAST HashAggregate (deepest =
+    the per-orderkey quantity rollup) prints BELOW the last join —
+    comparing against the root TakeOrderedAndProject would be
+    vacuously true for any tree."""
     plan = _plan(spark, "tpch_q18_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
-    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+    last_join = max(
+        plan.rfind("BroadcastHashJoin"), plan.rfind("SortMergeJoin"),
+        plan.rfind("ShuffledHashJoin"),
+    )
+    assert last_join >= 0
+    assert plan.rfind("HashAggregate") > last_join, (
+        "quantity rollup is no longer the deepest operator under the joins"
+    )
 
 
 def test_stratified_sample_and_topk_push_window_limit(spark):
