@@ -79,9 +79,10 @@ _PRIORITY = [
     "kv_duplicate_suppression",
     "kv_client_stats",
     # exactly 50 entries above — the window is 100% never-checked
-    # queries + the pinned KV core this round; r01-green rows
+    # queries + the pinned KV core this round. Still waiting for a
+    # seat next round: corpus_token_histogram (added after the window
+    # filled), then the r01-green rotation backlog
     # (similarity_ann_multiprobe, similarity_lsh_near_pairs, wc, ...)
-    # rotate back in next round once the backlog clears
 ]
 
 

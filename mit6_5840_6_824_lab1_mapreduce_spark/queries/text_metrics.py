@@ -595,3 +595,48 @@ def ngram_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.select(
         "source", "shingle", "df", F.row_number().over(w).alias("rk")
     ).where(F.col("rk") <= 5)
+
+
+@query(
+    "corpus_token_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text, '[\p{L}]+')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
+           CAST(pow(2, floor(log2(n))) AS BIGINT) AS bucket_min_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(n) AS min_tokens,
+           max(n) AS max_tokens
+    FROM t WHERE n > 0
+    GROUP BY 1, 2
+    """,
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets — the input to
+    sequence-length planning (what fraction of docs straddle the
+    packing budget, where truncation would bite, how much of the
+    token mass sits in each length class). Integer-exact: bucket ids
+    come from floor(log2(n)) of an integer count, the only floats are
+    the log2/pow pair whose inputs and outputs are exact small ints.
+
+    Plan: one scan projecting a single int per doc, one tiny
+    aggregate — the cheapest corpus-profiling query in the repo."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0))
+        .cast("long")
+        .alias("n")
+    ).where(F.col("n") > 0)
+    bucket = F.floor(F.log2("n"))
+    return t.groupBy(
+        bucket.cast("long").alias("log2_bucket"),
+        F.pow(F.lit(2), bucket).cast("long").alias("bucket_min_tokens"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
