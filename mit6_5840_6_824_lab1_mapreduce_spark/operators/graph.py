@@ -27,12 +27,27 @@ def connected_components(
 
     Deterministic: min-label propagation has a unique fixed point.
     """
-    adj = (
+    adj0 = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
+    # Size the per-round parallelism to the EDGE COUNT, not the
+    # session default: each iteration launches join+agg+count jobs,
+    # and on a near-dup graph (hundreds of edges) a 32-way shuffle
+    # per round is pure task-scheduling overhead — ~20k edges per
+    # partition keeps tasks meaningful, while a corpus-scale graph
+    # still fans out to the full default parallelism. The persisted
+    # adjacency is cached ALREADY HASH-PARTITIONED on the join key,
+    # so every round's join reads it co-partitioned (the per-round
+    # shuffle moves only the label side).
+    spark = edges.sparkSession
+    n_edges = adj0.count()
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
+    adj = adj0.repartition(n_parts, "src").persist()
+    adj.count()
+    adj0.unpersist()
     # Only edge-endpoint vertices iterate; the singleton majority (in
     # a near-dup graph, almost everything) never enters the loop and
     # is unioned back at the end as its own component. At corpus scale
