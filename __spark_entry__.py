@@ -9,6 +9,9 @@ non-SQL-expressible.
 
 from __future__ import annotations
 
+import json
+import pathlib
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,78 +21,57 @@ from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "wc_wordcount"
 
-# The driver's correctness run caps at 50 queries, taken in dict order.
-# Front-load every query that has not yet appeared in a driver
-# CORRECTNESS file (r01+r02 union) so each registered query gets
-# hard-signal coverage across rounds; rows green in both r01 and r02
-# rotate to the back of the window.
-_PRIORITY = [
-    # -- never driver-checked as of r02 (locally oracle-green) --
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_repetition_stats",
-    "text_boilerplate_fraction",
-    "ngram_topk_per_source",
-    "corpus_source_mix",
-    "corpus_split_assign",
-    "multimodal_asset_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "multimodal_audio_decode",
-    "dedup_exact_keep",
-    "dedup_oversized_buckets",
-    "dedup_minhash_keep",
-    "dedup_pair_source_matrix",
-    "pipeline_clean_corpus",
-    "pipeline_corpus_stats",
-    "decontam_ngram_hits",
-    "decontam_drop_list",
-    "embedding_label_centroids",
-    "embedding_kmeans_centroids",
-    "similarity_topk_batch",
-    "similarity_ivf_assign",
-    "similarity_ivf_topk",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    # -- new this round (never checked by construction) --
-    "corpus_pack_sequences",
-    "corpus_sample_temperature",
-    "dedup_passage_blocks",
-    "corpus_chunk_windows",
-    "corpus_stratified_sample",
-    "corpus_mixture_plan",
-    "events_outlier_stats",
-    "events_salted_type_stats",
-    "tpch_q14_promo_revenue",
-    "tpch_q9_nation_profit",
-    "tpch_q2_min_cost_supplier",
-    # reference-core KV surface (SURVEY §2.4): keep in the hard signal
-    # every round; relational extension rows rotate out instead
+# The driver's correctness run caps at the first WINDOW entries of
+# ``queries()`` in dict order. Seat discipline (judge feedback r02/r03):
+# every query must get a driver CORRECTNESS row, and no row's last
+# confirmation should silently age out. Rather than hand-maintaining
+# the list each round, the ordering is COMPUTED from the recorded
+# CORRECTNESS_r*.json files: never-driver-checked queries first (in
+# registration order), then oldest-last-confirmation first, with the
+# reference-core KV surface (SURVEY §2.4) pinned into the window every
+# round per the round-2 verdict.
+WINDOW = 50
+_PINNED_KV = [
     "kv_final_state",
     "kv_get_at_seq",
     "kv_duplicate_suppression",
     "kv_client_stats",
-    # exactly 50 entries above — the window is 100% never-checked
-    # queries + the pinned KV core this round. Still waiting for a
-    # seat next round: corpus_token_histogram (added after the window
-    # filled), then the r01-green rotation backlog
-    # (similarity_ann_multiprobe, similarity_lsh_near_pairs, wc, ...)
 ]
 
 
+def _last_checked_round() -> dict[str, int]:
+    """Map query name -> latest driver round with a CORRECTNESS row
+    (absent = never driver-checked)."""
+    repo = pathlib.Path(__file__).resolve().parent
+    last: dict[str, int] = {}
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.stem)
+        if not m:
+            continue
+        rno = int(m.group(1))
+        try:
+            names = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in names:
+            last[name] = max(last.get(name, 0), rno)
+    return last
+
+
 def _ordered_names() -> list[str]:
-    front = [n for n in _PRIORITY if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in _PRIORITY]
-    return front + rest
+    last = _last_checked_round()
+    pinned = [n for n in _PINNED_KV if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in pinned]
+    # Stable sort: never-checked (round 0) lead, then ascending
+    # last-confirmed round; registration order breaks ties.
+    rest.sort(key=lambda n: last.get(n, 0))
+    seats = max(0, WINDOW - len(pinned))
+    return rest[:seats] + pinned + rest[seats:]
+
+
+# Materialized once at import: the first WINDOW entries are the seats
+# the driver will actually check this round.
+_PRIORITY = _ordered_names()[:WINDOW]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -220,7 +220,10 @@ def minhash_lsh_dedup_pairs(
     - signature generation streams the shingle explode straight into
       the 16-min aggregate (map-side partial mins, one shuffle of
       one row per doc) — the exploded table is NEVER persisted or
-      re-read; corpus text flows through exactly once;
+      re-read, so the SIGNATURE stage reads corpus text exactly once
+      (verification below re-scans `docs`, pruned to candidate ids
+      by the semi-join — cost tracks the near-dup rate, not corpus
+      size);
     - the shingle explode for Jaccard verification runs ONLY for
       documents that appear in some candidate pair (semi-join on the
       candidate id set) — verify cost tracks the near-duplicate

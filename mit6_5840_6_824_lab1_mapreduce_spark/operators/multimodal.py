@@ -15,9 +15,16 @@ Decode status by modality:
   parses them with stdlib ``wave`` (no external codecs needed) and
   returns header fields + PCM statistics (RMS, peak, mean). The
   deterministic generator ``wav_payload`` produces the test corpus.
-- image/video: the container has no codecs (PIL/av), so those
-  branches raise ``NotImplementedError`` unless ``fake=True``, in
-  which case a deterministic md5-derived feature vector stands in.
+- **image: REAL.** Payloads are uncompressed 24-bit BMP containers
+  (BITMAPFILEHEADER + BITMAPINFOHEADER + padded bottom-up pixel
+  rows); ``decode_asset`` parses them with stdlib ``struct`` — no
+  codec library needed for an uncompressed raster — and returns
+  dimensions + per-channel means. ``bmp_payload`` generates the
+  deterministic test corpus.
+- video: compressed-stream parsing genuinely needs a codec library
+  (av), so that branch raises ``NotImplementedError`` unless
+  ``fake=True``, in which case a deterministic md5-derived feature
+  vector stands in.
 The Spark-side plumbing — schema, batching, UDF signatures — is real
 and tested for all three.
 """
@@ -206,6 +213,111 @@ def audio_features_df(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# Deterministic BMP generation contract (shared verbatim with the SQL
+# oracle, which recomputes the pixel statistics arithmetically from
+# the same formula — generating the container on one side and parsing
+# it on the other is what proves the decode lossless):
+#   w(id) = 4 + id % 8 ; h(id) = 3 + id % 5
+#   pixel index k = y * w + x (row-major from the TOP of the image):
+#     r(id, k) = (id *  7 + k * 11) % 256
+#     g(id, k) = (id * 13 + k * 17) % 256
+#     b(id, k) = (id * 19 + k * 23) % 256
+IMAGE_W_BASE, IMAGE_W_MOD = 4, 8
+IMAGE_H_BASE, IMAGE_H_MOD = 3, 5
+_BMP_HEADER_BYTES = 54  # 14 (file header) + 40 (BITMAPINFOHEADER)
+
+
+def bmp_dims(asset_id: int) -> tuple[int, int]:
+    return (
+        IMAGE_W_BASE + asset_id % IMAGE_W_MOD,
+        IMAGE_H_BASE + asset_id % IMAGE_H_MOD,
+    )
+
+
+def bmp_payload(asset_id: int) -> bytes:
+    """A real, deterministic uncompressed 24-bit BMP container:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, pixel rows stored bottom-up
+    with 4-byte row padding (the on-disk format every BMP reader
+    expects). stdlib-only."""
+    w, h = bmp_dims(asset_id)
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_BYTES + data_size, 0, 0, _BMP_HEADER_BYTES
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in reversed(range(h)):  # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            k = y * w + x
+            row += bytes(
+                (
+                    (asset_id * 19 + k * 23) % 256,  # stored B,G,R per pixel
+                    (asset_id * 13 + k * 17) % 256,
+                    (asset_id * 7 + k * 11) % 256,
+                )
+            )
+        row += b"\0" * (row_size - 3 * w)
+        rows.append(bytes(row))
+    return header + dib + b"".join(rows)
+
+
+def image_bmp_assets(docs: DataFrame) -> DataFrame:
+    """Image asset table built directly from document ids (modality
+    assignment ``doc_id % 3 == 0``, as in ``assets_from_documents``):
+    one narrow id column enters the Arrow stage, full BMP containers
+    come out, built on the executors (same 100 TB rule as
+    ``audio_wav_assets``)."""
+    ids = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [bmp_payload(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(content),
+                    "content": content,
+                    "meta": [
+                        {"n_bytes": len(c), "digest": hashlib.md5(c).hexdigest()}
+                        for c in content
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+def image_features_df(docs: DataFrame) -> DataFrame:
+    """Fused image build→decode in ONE Arrow stage (the
+    ``audio_features_df`` twin): ids in, decoded features out. The BMP
+    round-trip is real — containers are built byte-for-byte and parsed
+    back by ``decode_asset`` inside the batch — but the payload never
+    crosses a stage boundary."""
+    ids = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bmp_payload(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, "image") for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload to a feature vector.
 
@@ -215,10 +327,46 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
     [n_channels, sampwidth, framerate, n_frames, rms, peak, mean,
     duration_sec].
 
-    image/video: real codecs (PIL / av) are not in this container —
-    those branches are intentionally unimplemented; `fake=True`
-    produces a deterministic md5-derived vector with the same shape
-    contract the real decoder would have."""
+    image: REAL decode — stdlib ``struct`` parses the BMP headers
+    (magic, pixel-data offset, dimensions, bpp, compression) and the
+    padded bottom-up pixel rows yield per-channel means. Feature
+    layout: [width, height, bpp, n_pixels, mean_r, mean_g, mean_b,
+    file_bytes]. Only the uncompressed 24-bit raster is supported —
+    that is what an uncompressed BMP IS; compressed formats need a
+    codec library.
+
+    video: a compressed-stream codec (av) is not in this container —
+    that branch is intentionally unimplemented; `fake=True` produces
+    a deterministic md5-derived vector with the same shape contract
+    the real decoder would have."""
+    if modality == "image" and content[:2] == b"BM":
+        _magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", content, 0)
+        _dib, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP decode supports uncompressed 24-bit only (bpp={bpp}, "
+                f"compression={comp}); compressed rasters need a codec"
+            )
+        h_abs = abs(h)  # negative height = top-down row order
+        row_size = (3 * w + 3) // 4 * 4
+        sum_r = sum_g = sum_b = 0
+        for row_i in range(h_abs):
+            base = offset + row_i * row_size
+            row = content[base : base + 3 * w]
+            sum_b += sum(row[0::3])
+            sum_g += sum(row[1::3])
+            sum_r += sum(row[2::3])
+        n = w * h_abs
+        return [
+            float(w),
+            float(h_abs),
+            float(bpp),
+            float(n),
+            sum_r / n,
+            sum_g / n,
+            sum_b / n,
+            float(len(content)),
+        ]
     if modality == "audio" and content[:4] == b"RIFF":
         with wave.open(io.BytesIO(content), "rb") as w:
             nch = w.getnchannels()

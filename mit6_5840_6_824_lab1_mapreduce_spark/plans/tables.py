@@ -6,9 +6,34 @@ for free (verify via ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+# Conservative stand-in for spark.sql.files.maxPartitionBytes (128 MiB
+# default): used only to ESTIMATE how many splits the scan already
+# yields, so the documents repartition guard can stay pure-DataFrame
+# (no .rdd handle) without shuffling a corpus whose big files would
+# split into enough partitions on their own.
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _estimated_scan_partitions(files: list[str]) -> int:
+    """Lower-bound estimate of scan partitions: one per file plus one
+    per additional split of a large file. Sizes are only statable for
+    local paths; remote schemes fall back to the file count (still a
+    valid lower bound — splitting only adds partitions)."""
+    est = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        est += 1 + size // _SPLIT_BYTES
+    return est
 
 TABLES = (
     "region",
@@ -51,7 +76,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # shuffle is skipped entirely.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if _estimated_scan_partitions(df.inputFiles()) < par:
             df = df.repartition(par)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -105,14 +105,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + sum(s) / CAST(count(*) AS DOUBLE)
                    + nf / 8000.0, 6) AS feat_sum
       FROM smp GROUP BY doc_id, nf
+    ), img AS (
+      SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), ipx AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7 + k * 11) % 256 AS r,
+             (doc_id * 13 + k * 17) % 256 AS g,
+             (doc_id * 19 + k * 23) % 256 AS b
+      FROM img, unnest(range(0, w * h)) AS t(k)
+    ), istats AS (
+      SELECT doc_id,
+             CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+             round(CAST(w AS DOUBLE) + h + 24 + w * h
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 54 + ((3 * w + 3) // 4) * 4 * h, 6) AS feat_sum
+      FROM ipx GROUP BY doc_id, w, h
     )
     SELECT d.doc_id AS asset_id,
            CASE WHEN d.doc_id % 3 = 0 THEN 'image'
                 WHEN d.doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
            CASE WHEN d.doc_id % 3 = 1 THEN a.n_bytes
+                WHEN d.doc_id % 3 = 0 THEN i.n_bytes
                 ELSE length(d.text) END AS n_bytes,
            CASE WHEN d.doc_id % 3 = 1 THEN a.feat_sum
+                WHEN d.doc_id % 3 = 0 THEN i.feat_sum
                 ELSE round(0.0
              + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  1, 1)) - 1)
                    + (strpos('0123456789abcdef', substr(md5(d.text),  2, 1)) - 1)) / 255.0
@@ -131,46 +151,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 15, 1)) - 1)
                    + (strpos('0123456789abcdef', substr(md5(d.text), 16, 1)) - 1)) / 255.0
            , 6) END AS feat_sum
-    FROM documents d LEFT JOIN astats a ON d.doc_id = a.doc_id
+    FROM documents d
+      LEFT JOIN astats a ON d.doc_id = a.doc_id
+      LEFT JOIN istats i ON d.doc_id = i.doc_id
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end decode path, routed by whether decode is REAL:
-    audio rows are real WAV containers built and parsed (stdlib
-    `wave`, header + PCM → RMS / peak / mean) inside ONE fused Arrow
-    `mapInPandas` stage — only audio rows enter Python, fed by a
+    audio rows are real WAV containers and image rows real BMP
+    containers, each built and parsed inside its own fused Arrow
+    `mapInPandas` stage — only those rows enter Python, fed by a
     single pruned id column, and the payload never crosses a stage
-    boundary (`audio_features_df`). Image/video rows' stand-in decode
-    is just md5-digest arithmetic, so it folds into JVM expressions —
-    no Arrow transfer at all for 2/3 of the corpus. The oracle
-    recomputes both paths in SQL. At scale this split is the pattern:
-    pay the Python/Arrow toll exactly once, exactly where a real
-    codec runs; everything else stays in whole-stage codegen."""
-    from ..operators.multimodal import assets_from_documents, audio_features_df
+    boundary (`audio_features_df` / `image_features_df`). Video rows'
+    stand-in decode is just md5-digest arithmetic, so it folds into
+    JVM expressions — no Arrow transfer for that third of the corpus.
+    The oracle recomputes all three paths in SQL. At scale this split
+    is the pattern: pay the Python/Arrow toll exactly once, exactly
+    where a real codec runs; everything else stays in whole-stage
+    codegen."""
+    from ..operators.multimodal import (
+        assets_from_documents,
+        audio_features_df,
+        image_features_df,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    audio = audio_features_df(docs).select(
-        "asset_id",
-        "modality",
-        "n_bytes",
-        F.round(
-            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("feat_sum"),
-    )
-    iv = assets_from_documents(docs).where(F.col("modality") != "audio")
+    fold = F.round(
+        F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+    ).alias("feat_sum")
+    audio = audio_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
+    image = image_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
+    v = assets_from_documents(docs).where(F.col("modality") == "video")
     h = F.col("meta.digest")
     feat_sum = F.lit(0.0)
     for k in range(8):  # digest bytes [0:8] / 255 — same fold order as decode_asset
         feat_sum = feat_sum + F.conv(F.substring(h, 2 * k + 1, 2), 16, 10).cast(
             "double"
         ) / 255.0
-    iv_feats = iv.select(
+    v_feats = v.select(
         "asset_id",
         "modality",
         F.col("meta.n_bytes").alias("n_bytes"),
         F.round(feat_sum, 6).alias("feat_sum"),
     )
-    return audio.unionByName(iv_feats)
+    return audio.unionByName(image).unionByName(v_feats)
 
 
 @query(
@@ -219,6 +243,61 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f[4], 6).alias("rms"),
         f[5].alias("peak"),
         F.round(f[6], 6).alias("mean_amp"),
+    )
+
+
+@query(
+    "multimodal_image_decode",
+    oracle=r"""
+    WITH img AS (
+      SELECT doc_id AS asset_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT asset_id, w, h,
+             (asset_id * 7 + k * 11) % 256 AS r,
+             (asset_id * 13 + k * 17) % 256 AS g,
+             (asset_id * 19 + k * 23) % 256 AS b
+      FROM img, unnest(range(0, w * h)) AS t(k)
+    )
+    SELECT asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           24 AS bpp,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           round(sum(r) / CAST(count(*) AS DOUBLE), 6) AS mean_r,
+           round(sum(g) / CAST(count(*) AS DOUBLE), 6) AS mean_g,
+           round(sum(b) / CAST(count(*) AS DOUBLE), 6) AS mean_b,
+           CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS file_bytes
+    FROM px GROUP BY asset_id, w, h
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no fake anywhere: image assets are
+    uncompressed 24-bit BMP containers built byte-for-byte (headers,
+    bottom-up rows, 4-byte row padding) and parsed back by stdlib
+    `struct` inside the fused Arrow `mapInPandas` stage (`decode_asset`
+    with fake=False); the oracle regenerates the pixel grid
+    arithmetically from the deterministic formula. Container built on
+    one side, parsed on the other — dimensions, pixel count, and
+    per-channel means are verified field by field, which catches any
+    mistake in offset handling, row order, padding, or BGR layout.
+
+    Reference analog: decode is the modern map UDF
+    (/root/reference/src/mr/worker.go:32-33)."""
+    from ..operators.multimodal import image_features_df
+
+    feats = image_features_df(table(spark, sf_dir, "documents"))
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("int").alias("bpp"),
+        f[3].cast("long").alias("n_pixels"),
+        F.round(f[4], 6).alias("mean_r"),
+        F.round(f[5], 6).alias("mean_g"),
+        F.round(f[6], 6).alias("mean_b"),
+        f[7].cast("long").alias("file_bytes"),
     )
 
 

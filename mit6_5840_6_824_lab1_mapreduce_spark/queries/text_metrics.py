@@ -604,8 +604,8 @@ def ngram_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(len(regexp_extract_all(text, '[\p{L}]+')) AS BIGINT) AS n
       FROM documents
     )
-    SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
-           CAST(pow(2, floor(log2(n))) AS BIGINT) AS bucket_min_tokens,
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(1::BIGINT << (length(bin(n)) - 1) AS BIGINT) AS bucket_min_tokens,
            count(*) AS n_docs,
            CAST(sum(n) AS BIGINT) AS total_tokens,
            min(n) AS min_tokens,
@@ -618,9 +618,11 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram in power-of-two buckets — the input to
     sequence-length planning (what fraction of docs straddle the
     packing budget, where truncation would bite, how much of the
-    token mass sits in each length class). Integer-exact: bucket ids
-    come from floor(log2(n)) of an integer count, the only floats are
-    the log2/pow pair whose inputs and outputs are exact small ints.
+    token mass sits in each length class). Integer-exact: the bucket
+    id is the bit width of the count minus one (length(bin(n)) - 1 on
+    both engines), and the bucket floor is an integer left-shift — no
+    libm log2/pow anywhere, so a ulp-under-boundary rounding can never
+    move a doc across a power-of-two bucket edge (advisor r03).
 
     Plan: one scan projecting a single int per doc, one tiny
     aggregate — the cheapest corpus-profiling query in the repo."""
@@ -630,10 +632,12 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n")
     ).where(F.col("n") > 0)
-    bucket = F.floor(F.log2("n"))
+    bucket = (F.length(F.bin(F.col("n"))) - F.lit(1)).cast("long")
     return t.groupBy(
-        bucket.cast("long").alias("log2_bucket"),
-        F.pow(F.lit(2), bucket).cast("long").alias("bucket_min_tokens"),
+        bucket.alias("log2_bucket"),
+        F.expr("CAST(shiftleft(1L, length(bin(n)) - 1) AS BIGINT)").alias(
+            "bucket_min_tokens"
+        ),
     ).agg(
         F.count("*").alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),

@@ -917,11 +917,13 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — NATION_7 suppliers'
     slice of PROMO-part revenue sold to EUROPE-region customers, per
-    order year. Six-way join where every dimension edge (part,
-    supplier, nation x2, region, customer) broadcasts; the only
-    shuffles are the lineitem->orders fact edge and the final tiny
-    per-year aggregate. Conditional numerator and denominator come
-    out of ONE aggregation pass (no self-join of aggregates)."""
+    order year. Six-way join: the small dimensions (part, supplier,
+    nation x2, region) broadcast; customer and orders are shuffled
+    edges — customer is deliberately NOT hinted because it scales
+    with the fact side and would not be broadcastable at 100 TB
+    (SCALE.md round-2 decision; AQE may still elect a broadcast at
+    small SF). Conditional numerator and denominator come out of ONE
+    aggregation pass (no self-join of aggregates)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     s = table(spark, sf_dir, "supplier")

@@ -51,14 +51,34 @@ def test_never_checked_queries_are_seated():
     # Allow at most the overflow that cannot fit once the backlog
     # exceeds the window (those must be the NEWEST queries, which get
     # first seats next round) — but never a silently forgotten one.
-    overflow_budget = max(0, len(never) + _pinned_count() - WINDOW)
+    # Pinned rows only consume a seat a never-checked query could have
+    # used when they are NOT themselves never-checked (advisor r03).
+    pinned_checked = sum(
+        1 for n in entry._PINNED_KV if n in names and n in checked
+    )
+    overflow_budget = max(0, len(never) + pinned_checked - WINDOW)
     assert len(unseated) <= overflow_budget, (
         f"never-driver-checked queries left outside the {WINDOW}-seat "
         f"window with seats available: {unseated}"
     )
 
 
-def _pinned_count() -> int:
-    """KV-core rows pinned into the window every round per the
-    round-2 verdict."""
-    return sum(1 for n in entry._PRIORITY if n.startswith("kv_"))
+def test_window_prefers_oldest_confirmation():
+    """The computed ordering must seat rows whose last driver
+    confirmation is oldest before fresher ones (refresh coverage,
+    verdict r03 item 2)."""
+    last = entry._last_checked_round()
+    if not last:
+        return
+    names = list(entry.queries())
+    pinned = set(entry._PINNED_KV)
+    in_window = [n for n in names[:WINDOW] if n not in pinned]
+    out_window = [n for n in names[WINDOW:] if n not in pinned]
+    if not in_window or not out_window:
+        return
+    oldest_out = min(last.get(n, 0) for n in out_window)
+    newest_in = max(last.get(n, 0) for n in in_window)
+    assert newest_in <= oldest_out, (
+        "a row with a fresher driver confirmation is seated while an "
+        "older one waits outside the window"
+    )

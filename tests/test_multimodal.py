@@ -87,6 +87,70 @@ def test_wav_payload_real_decode_roundtrip():
         assert dur == n / AUDIO_RATE
 
 
+def test_bmp_payload_real_decode_roundtrip():
+    """Image decode is REAL: a generated uncompressed 24-bit BMP
+    parsed by stdlib `struct` must hand back exactly the dimensions
+    and per-channel means implied by the generation formula — no fake
+    flag. Exercises row padding (w=4 → no pad, w=5..7 → 1-3 pad
+    bytes) and the bottom-up row order."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        bmp_dims,
+        bmp_payload,
+        decode_asset,
+    )
+
+    for asset_id in (0, 3, 6, 9, 33, 1002):
+        payload = bmp_payload(asset_id)
+        assert payload[:2] == b"BM"
+        w, h = bmp_dims(asset_id)
+        n = w * h
+        feats = decode_asset(payload, "image", fake=False)
+        mr = sum((asset_id * 7 + k * 11) % 256 for k in range(n)) / n
+        mg = sum((asset_id * 13 + k * 17) % 256 for k in range(n)) / n
+        mb = sum((asset_id * 19 + k * 23) % 256 for k in range(n)) / n
+        assert feats == [float(w), float(h), 24.0, float(n), mr, mg, mb,
+                         float(54 + (3 * w + 3) // 4 * 4 * h)]
+
+
+def test_bmp_decode_rejects_unsupported_raster():
+    """Anything but the uncompressed 24-bit raster needs a codec —
+    the decoder must say so, not mis-parse."""
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        bmp_payload,
+        decode_asset,
+    )
+
+    payload = bytearray(bmp_payload(3))
+    _struct.pack_into("<H", payload, 28, 8)  # claim 8-bit palette raster
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_asset(bytes(payload), "image", fake=False)
+
+
+def test_image_features_df_real_decode_in_pipeline(spark):
+    """fake=False image decode end to end through the fused Arrow
+    stage: every doc_id % 3 == 0 row comes back with the features the
+    formula implies."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        bmp_dims,
+        image_features_df,
+    )
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import table as load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["asset_id"]: r for r in image_features_df(docs).collect()}
+    expected_ids = {
+        r["doc_id"] for r in docs.select("doc_id").collect() if r["doc_id"] % 3 == 0
+    }
+    assert rows.keys() == expected_ids
+    for aid, r in rows.items():
+        w, h = bmp_dims(aid)
+        assert r["modality"] == "image"
+        assert r["feature"][:4] == [float(w), float(h), 24.0, float(w * h)]
+        assert r["n_bytes"] == 54 + (3 * w + 3) // 4 * 4 * h
+
+
 def test_with_audio_payloads_swaps_only_audio(assets, spark):
     """The payload-swap stage must leave image/video rows bit-identical
     and give every audio row a parseable WAV whose meta matches the new

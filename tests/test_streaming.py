@@ -278,10 +278,16 @@ def test_watermark_closes_windows_exactly_once(spark, tmpdir):
     assert final_state == 1
 
 
-def test_stream_restart_resumes_from_checkpoint(spark, tmpdir):
+@pytest.mark.parametrize("trial", (1, 2, 3))
+def test_stream_restart_resumes_from_checkpoint(spark, tmpdir, trial):
     """K4 durability analog: a restarted stream with the same
     checkpoint processes only NEW files — no reprocessing, no
-    double-counting (exactly-once across restarts)."""
+    double-counting (exactly-once across restarts).
+
+    Looped 3x (fresh tmpdir per trial): the reference catches flaky
+    races by re-running its whole suite in a loop
+    (/root/reference/src/main/test-mr-many.sh:15-22); this restates
+    that discipline for the checkpoint-recovery race."""
     import pyspark.sql.functions as SF
 
     df0 = spark.range(5).select(SF.col("id").cast("string").alias("key"),
