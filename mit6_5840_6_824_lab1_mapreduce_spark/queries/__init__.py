@@ -24,5 +24,6 @@ from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import decontam  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import scrub  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

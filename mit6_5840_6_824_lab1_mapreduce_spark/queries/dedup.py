@@ -474,3 +474,82 @@ def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=r"""
+    WITH g AS (SELECT doc_id AS id, lang, source, text FROM documents),
+    toks AS (
+      SELECT id, lang, source,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+      FROM g
+    ),
+    sh0 AS (
+      SELECT id, lang, source, unnest(CASE WHEN len(ts) >= 3
+        THEN list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT id, lang, source, shingle FROM sh0),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+        AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           round(n_inter * 1.0 / ca.n, 6) AS contain_a,
+           round(n_inter * 1.0 / cb.n, 6) AS contain_b
+    FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+    WHERE greatest(round(n_inter * 1.0 / ca.n, 6),
+                   round(n_inter * 1.0 / cb.n, 6)) >= 0.5
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |S(A)∩S(B)| / |S(A)| on word
+    3-gram shingles — catches a short document wholly quoted inside a
+    longer one, which symmetric Jaccard misses (the union term drowns
+    the overlap). Emits both directions; a pair survives if either
+    containment ≥ 0.5.
+
+    Same bounded-block scale shape as `dedup_ngram_jaccard`: the
+    intersection comes from the shingle self-join WITHIN (lang,
+    source) blocks — pairs sharing no shingle never materialize, the
+    shuffle is partitioned by (shingle, lang, source), and per-doc
+    shingle dedup is array_distinct before the explode."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        "source",
+        F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts"),
+    )
+    sh = toks.select(
+        "id", "lang", "source",
+        F.explode(F.array_distinct(D.gram_windows(F.col("ts"), 3))).alias("shingle"),
+    ).persist()  # feeds cnt + both sides of the intersection join
+    cnt = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(cnt.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(cnt.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .where(F.greatest(ca, cb) >= 0.5)
+        .select("id_a", "id_b", "n_inter", ca.alias("contain_a"), cb.alias("contain_b"))
+    )

@@ -517,3 +517,83 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("tv").cast("double"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_session_sequences",
+    oracle=r"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+           array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 20), '>') AS path,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-session action sequences — the behavioral training
+    examples a recommender or user-model pipeline feeds on (event path
+    capped at 20 steps, session bounds, session value). Builds on the
+    same 30-min-gap sessionization as `events_sessionization`, then
+    one groupBy(user, session): the sequence is assembled by
+    sort_array over (ts, event_id, type) structs — deterministic
+    total order, no ordering assumption on collect_list itself.
+    Two window passes + one aggregate, all partitioned by user_id —
+    one shuffle at 100 TB (sessions never span users)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                20,
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ts_str(F.min("ts"), "start_ts"),
+        ts_str(F.max("ts"), "end_ts"),
+        path.alias("path"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )

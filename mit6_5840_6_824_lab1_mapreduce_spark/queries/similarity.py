@@ -425,3 +425,49 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_points"),
         )
     )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=r"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, len(q) AS dim,
+             list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS n2
+      FROM v
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(max(dim) AS BIGINT) AS dim,
+           round(CAST(sum(n2) AS DOUBLE) / count(*) / 1000000000000.0, 6) AS mean_norm_sq,
+           round(sqrt(CAST(min(n2) AS DOUBLE)) / 1000000.0, 6) AS min_norm,
+           round(sqrt(CAST(max(n2) AS DOUBLE)) / 1000000.0, 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA profile per label: vector count, dimension,
+    mean squared norm, min/max norm — the sanity gate before any
+    ANN / clustering run (catches unnormalized slices, zero vectors,
+    dimension drift). Exact arithmetic end to end: int64 quantization
+    makes every per-vector norm² an exact integer, so the per-label
+    sums are order-independent (the r03 float-determinism rule); the
+    only floats are final divisions and IEEE-exact sqrt. One narrow
+    aggregate — no shuffle of the vectors themselves at 100 TB, just
+    (label, n2) pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.embeddings_quantized(emb).withColumn("dim", F.size("q"))
+    return v.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.max("dim").cast("long").alias("dim"),
+        F.round(
+            F.sum("n2").cast("double") / F.count("*") / F.lit(1e12), 6
+        ).alias("mean_norm_sq"),
+        F.round(F.sqrt(F.min("n2").cast("double")) / F.lit(1e6), 6).alias("min_norm"),
+        F.round(F.sqrt(F.max("n2").cast("double")) / F.lit(1e6), 6).alias("max_norm"),
+    )

@@ -644,3 +644,106 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
     )
+
+
+@query(
+    "doc_length_deciles",
+    oracle=r"""
+    WITH q AS (
+      SELECT source,
+             quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(i AS INT) AS decile, round(qs[CAST(i AS INT)], 6) AS n_chars_q
+    FROM q, unnest(range(1, 10)) AS t(i)
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length deciles — the shard-size and
+    truncation-planning profile (how skewed is each crawl slice?).
+    Exact `percentile` (linear interpolation on the sorted column, the
+    same definition as DuckDB's quantile_cont), not approx_percentile:
+    cross-engine hash equality requires the deterministic aggregate.
+    One shuffle by source; the per-group sort is the cost, bounded by
+    the largest source. At 100 TB swap in approx_percentile and keep
+    this as its calibration oracle on sampled slices."""
+    d = table(spark, sf_dir, "documents")
+    qs = [i / 10 for i in range(1, 10)]
+    agg = d.groupBy("source").agg(
+        F.percentile("n_chars", F.array(*[F.lit(q) for q in qs])).alias("qs")
+    )
+    return agg.select(
+        "source",
+        F.posexplode("qs"),
+    ).select(
+        "source",
+        (F.col("pos") + 1).cast("int").alias("decile"),
+        F.round("col", 6).alias("n_chars_q"),
+    )
+
+
+@query(
+    "corpus_bigram_lm_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(ts) >= 2
+        THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM toks
+    ),
+    p AS (
+      SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+             count(*) AS pair_n
+      FROM bg GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT w1, w2, pair_n,
+             CAST(sum(pair_n) OVER (PARTITION BY w1) AS BIGINT) AS w1_n,
+             row_number() OVER (ORDER BY pair_n DESC, w1, w2) AS rk
+      FROM p
+    )
+    SELECT w1, w2, pair_n, w1_n,
+           round(CAST(pair_n AS DOUBLE) / w1_n, 6) AS cond_p,
+           CAST(rk AS INT) AS rk
+    FROM t WHERE rk <= 100
+    """,
+)
+def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams with left-context totals and conditional
+    probability P(w2|w1) — the count table a bigram LM (or a
+    contamination / memorization probe) starts from. The continuation
+    denominator is the sum of pair counts per w1, derived from the
+    bigram table itself (no second corpus pass). Top-k is
+    TakeOrderedAndProject (pair_n desc, then lexicographic — fully
+    deterministic), never a global sort; the w1 window runs on the
+    collapsed bigram vocabulary, not the exploded corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts")
+    )
+    bg = toks.select(F.explode(D.gram_windows(F.col("ts"), 2)).alias("gram"))
+    sp = F.split("gram", " ")
+    p = (
+        bg.select(sp[0].alias("w1"), sp[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    t = p.withColumn(
+        "w1_n", F.sum("pair_n").over(Window.partitionBy("w1"))
+    )
+    top = t.orderBy(F.desc("pair_n"), F.asc("w1"), F.asc("w2")).limit(100)
+    # rank assigned on the 100 surviving rows (tiny single partition),
+    # not the whole vocabulary
+    rk = Window.orderBy(F.desc("pair_n"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        "w1",
+        "w2",
+        "pair_n",
+        "w1_n",
+        F.round(F.col("pair_n").cast("double") / F.col("w1_n"), 6).alias("cond_p"),
+        F.row_number().over(rk).alias("rk"),
+    )

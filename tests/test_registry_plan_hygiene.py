@@ -24,6 +24,7 @@ PYTHON_REQUIRED = {
     "multimodal_feature_extract",
     "multimodal_resize",
     "multimodal_audio_decode",
+    "multimodal_image_decode",
 }
 
 # BroadcastNestedLoopJoin is sanctioned ONLY where the build side is
