@@ -1,0 +1,447 @@
+"""Deterministic distributed sketches over the document corpus.
+
+At 100 TB you cannot afford exact global `COUNT(DISTINCT)` / exact
+heavy-hitter tables at interactive latency — production pipelines run
+sketches (KMV / HLL for cardinality, count-min for frequency) whose
+per-partition states merge associatively, so they cost one map-side
+pass plus a tiny merge. Spark's built-ins (`approx_count_distinct`,
+HLL) are *randomized per run*, which makes them untestable against an
+oracle; these implementations fix every hash (md5-derived) so the
+sketch is bit-deterministic — the same trick used to make sampling
+reproducible elsewhere in this repo — and DuckDB can re-derive the
+identical sketch for the hash-compare.
+
+Everything is pure JVM expression + groupBy aggregation: the sketch
+states (k minimum hashes, d×w counters, 256 registers) are all
+sub-linear in the corpus, so nothing corpus-sized is ever collected,
+cached, or windowed in a single task.
+
+Reference analog: these generalize the reference's word-count
+aggregation (`/root/reference/src/mrapps/wc.go:21-28`) from exact
+counts to mergeable summaries — the map/combine/reduce contract is
+identical (C1/C5 in SURVEY §2), only the monoid changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import LETTER_SPLIT_RE
+from ..operators.dedup import gram_windows, tokens
+from ..plans import table
+from .registry import query
+
+# 60-bit uniform hash from the first 15 hex chars of md5 — the shared
+# deterministic randomness for every sketch below. DuckDB twin:
+# CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+_H60_MAX = 1 << 60
+
+
+def _h60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, shingle) pairs — lowercased word 3-grams.
+    The cardinality domain for the sketches: the synthetic corpus has
+    a tiny closed word vocabulary, but its shingle set grows with the
+    corpus, which is exactly the regime (n >> m, n >> k) the
+    estimators are built for. One explode + one distinct shuffle;
+    output is shingle-set-sized (sub-linear in the corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    return (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(gram_windows(t, 3))).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLE_SET_SQL = r"""
+  shingles AS (
+    SELECT DISTINCT source, shingle FROM (
+      SELECT source,
+             unnest(CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM (SELECT source,
+                   list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                               t -> t <> '') AS ts
+            FROM documents))
+  )
+"""
+
+_WC_SQL = r"""
+  wc AS (
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                                t -> t <> '')) AS word
+      FROM documents)
+    GROUP BY word
+  )
+"""
+
+
+_KMV_K = 64
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=rf"""
+    WITH {_SHINGLE_SET_SQL},
+    hashed AS (
+      SELECT source, shingle,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+      FROM shingles
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h, shingle) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_exact
+      FROM hashed
+    )
+    SELECT source, n_exact,
+           CAST({_KMV_K} AS INT) AS kmv_k,
+           h AS kth_hash,
+           CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE round({_KMV_K - 1}.0 * {float(_H60_MAX)!r}
+                           / CAST(h AS DOUBLE), 4)
+           END AS kmv_estimate
+    FROM ranked
+    WHERE rn = least({_KMV_K}, n_exact)
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-shingle estimate per source,
+    k=64: keep the k smallest 60-bit hashes of the distinct word
+    3-gram set; the k-th smallest value v estimates the cardinality as
+    (k-1) * 2^60 / v. Emits the exact count alongside so the driver's
+    hash-compare pins both the sketch state (the k-th hash itself)
+    and the estimate arithmetic.
+
+    Scale shape: the min-k selection is two-phase — a salted partial
+    top-k (32-way, parallel) feeds a final top-k over at most 32·k
+    survivors per source — the standard distributed top-k plan; no
+    single task ever sorts a full per-source vocabulary. The exact
+    count (needed here only to grade the sketch) is the one
+    vocabulary-sized aggregate; a production run drops it and keeps
+    the sketch-only cost."""
+    hashed = _shingle_set(spark, sf_dir).select(
+        "source", F.col("shingle").alias("word"), _h60(F.col("shingle")).alias("h")
+    )
+    n_exact = hashed.groupBy("source").agg(F.count("*").alias("n_exact"))
+    # Phase 1: partial min-k inside 32 salt groups (parallel, bounded).
+    salted = Window.partitionBy("source", F.col("h") % 32).orderBy("h", "word")
+    part = (
+        hashed.withColumn("prn", F.row_number().over(salted))
+        .filter(F.col("prn") <= _KMV_K)
+        .drop("prn")
+    )
+    # Phase 2: final min-k over <= 32*k survivors per source.
+    final = Window.partitionBy("source").orderBy("h", "word")
+    ranked = part.withColumn("rn", F.row_number().over(final)).join(
+        F.broadcast(n_exact), "source"
+    )
+    kth = ranked.filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact")))
+    return kth.select(
+        "source",
+        "n_exact",
+        F.lit(_KMV_K).alias("kmv_k"),
+        F.col("h").alias("kth_hash"),
+        F.when(
+            F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(_H60_MAX))
+                / F.col("h").cast("double"),
+                4,
+            )
+        )
+        .alias("kmv_estimate"),
+    )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOPK = 20
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=rf"""
+    WITH {_WC_SQL},
+    seeds AS (SELECT unnest(range({_CMS_D})) AS seed),
+    counters AS (
+      SELECT seed,
+             CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || word), 1, 8)
+                  AS BIGINT) % {_CMS_W} AS bucket,
+             sum(cnt) AS total
+      FROM wc, seeds
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.word, t.cnt, s.seed,
+             CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.word), 1, 8)
+                  AS BIGINT) % {_CMS_W} AS bucket
+      FROM top t, seeds s
+    )
+    SELECT p.word, p.cnt AS true_count,
+           CAST(min(c.total) AS BIGINT) AS cms_estimate,
+           CAST(min(c.total) - p.cnt AS BIGINT) AS overcount
+    FROM probes p JOIN counters c USING (seed, bucket)
+    GROUP BY p.word, p.cnt
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=512 buckets, fixed md5-seeded
+    hashes) built over the corpus word counts, probed for the true
+    top-20 words: estimate = min over rows of the probed counter.
+    Emits true count, CMS estimate, and the overcount (provably >= 0
+    — the driver compare certifies the sketch's one-sided error).
+
+    Scale shape: counters are a groupBy on (seed, bucket) — at most
+    d*w = 2048 rows regardless of corpus size — with map-side partial
+    aggregation, so the sketch build is one pass + a tiny shuffle.
+    The top-k probe is TakeOrderedAndProject (map-side heap), and the
+    counter lookup is a broadcast equi-join on the 2048-row state."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), LETTER_SPLIT_RE),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seeds = F.array([F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(seed: F.Column, word: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(seed.cast("string"), F.lit(":"), word)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    counters = (
+        wc.select("word", "cnt", F.explode(seeds).alias("seed"))
+        .withColumn("bucket", bucket(F.col("seed"), F.col("word")))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("total"))
+    )
+    top = wc.orderBy(F.col("cnt").desc(), "word").limit(_CMS_TOPK)
+    probes = top.select(
+        "word", "cnt", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", bucket(F.col("seed"), F.col("word")))
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("word", F.col("cnt").alias("true_count"))
+        .agg(F.min("total").alias("cms_estimate"))
+        .select(
+            "word",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
+_HLL_M = 256  # 2^8 buckets; bucket = top 8 bits, rho over remaining 52
+# alpha_m * m^2 * 2^60, folded to ONE double constant shared verbatim
+# by both engines: estimate = _HLL_NUM / S is then a single IEEE
+# division — no expression-order or literal-typing (DECIMAL vs
+# DOUBLE) divergence can creep in.
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * float(_HLL_M * _HLL_M) * float(_H60_MAX)
+
+
+@query(
+    "sketch_hll_estimate",
+    oracle=rf"""
+    WITH {_SHINGLE_SET_SQL},
+    uniq AS (SELECT DISTINCT shingle FROM shingles),
+    hashed AS (
+      SELECT CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+      FROM uniq
+    ),
+    parts AS (
+      SELECT h >> 52 AS bucket, h & {(1 << 52) - 1} AS rest FROM hashed
+    ),
+    regs AS (
+      SELECT bucket,
+             max(CASE WHEN rest = 0 THEN 53
+                      ELSE 53 - length(bin(rest)) END) AS rho,
+             count(*) AS cnt
+      FROM parts GROUP BY bucket
+    ),
+    agg AS (
+      SELECT sum(cnt) AS n_exact,
+             count(*) AS buckets_hit,
+             sum(CAST(CAST(1 AS BIGINT) << (60 - rho) AS HUGEINT))
+               + (CAST({_HLL_M} AS HUGEINT) - count(*))
+                 * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT) AS s_scaled
+      FROM regs
+    )
+    SELECT CAST({_HLL_M} AS INT) AS m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(buckets_hit AS BIGINT) AS buckets_hit,
+           round({_HLL_NUM!r} / CAST(s_scaled AS DOUBLE), 4) AS hll_estimate
+    FROM agg
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with fixed md5 hashing, m=256 registers: bucket =
+    top 8 bits of the 60-bit hash, rho = position of the leading
+    1-bit in the remaining 52 (53 when they are all zero), register =
+    max rho per bucket, raw estimate = alpha_m * m^2 / sum(2^-rho)
+    (empty registers contribute 2^0; no small/large-range correction
+    — this is the raw estimator, graded against the exact count in
+    the same row).
+
+    Determinism: the harmonic sum is computed in scaled integer
+    arithmetic — sum of 2^(60-rho) as exact decimal — and only the
+    final alpha*m^2*2^60/S division happens in double, so no
+    float-summation order can leak into the hash-compare.
+
+    Scale shape: register build is a 256-group aggregate with map-side
+    partial max — the canonical mergeable-sketch plan; the final row
+    is a single tiny reduce."""
+    uniq = _shingle_set(spark, sf_dir).select("shingle").distinct()
+    parts = uniq.select(_h60(F.col("shingle")).alias("h")).select(
+        F.expr("shiftright(h, 52)").alias("bucket"),
+        F.expr(f"h & {(1 << 52) - 1}").alias("rest"),
+    )
+    regs = parts.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("rest") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.bin(F.col("rest")))
+            )
+        ).alias("rho"),
+        F.count("*").alias("cnt"),
+    )
+    agg = regs.agg(
+        F.sum("cnt").alias("n_exact"),
+        F.count("*").cast("long").alias("buckets_hit"),
+        (
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - rho AS INT))").cast(
+                    "decimal(38,0)"
+                )
+            )
+            + (F.lit(_HLL_M).cast("decimal(38,0)") - F.count("*"))
+            * F.lit(1 << 60).cast("decimal(38,0)")
+        ).alias("s_scaled"),
+    )
+    return agg.select(
+        F.lit(_HLL_M).alias("m"),
+        "n_exact",
+        "buckets_hit",
+        F.round(
+            F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4
+        ).alias("hll_estimate"),
+    )
+
+
+_COVERAGE_PCTS = (50, 90, 95, 99)
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle=rf"""
+    WITH {_WC_SQL},
+    ranked AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rn,
+             sum(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total
+      FROM wc
+    ),
+    marks AS (
+      SELECT total,
+             {", ".join(f"min(CASE WHEN cum * 100 >= total * {p} THEN rn END) AS v{p}, "
+                        f"min(CASE WHEN cum * 100 >= total * {p} THEN cum END) AS c{p}"
+                        for p in _COVERAGE_PCTS)}
+      FROM ranked GROUP BY total
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({p} AS INT) AS coverage_pct, CAST(v{p} AS BIGINT) AS vocab_size, "
+        f"CAST(c{p} AS BIGINT) AS tokens_covered, CAST(total AS BIGINT) AS total_tokens, "
+        f"round(CAST(c{p} AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage FROM marks"
+        for p in _COVERAGE_PCTS)}
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: the smallest top-N word vocabulary
+    whose cumulative frequency covers 50/90/95/99% of all corpus
+    tokens — the first question asked when budgeting a WordPiece/BPE
+    vocab against OOV rate. Thresholds are integer-exact
+    (cum*100 >= total*pct; no float in the cut decision).
+
+    Scale shape: the word-count aggregate is corpus-sized with
+    map-side combine; the ranking window then runs over the VOCABULARY
+    (sub-linear, ~millions of rows at 100 TB) — a deliberate single
+    partition over a table that fits one task by construction. The
+    four thresholds are conditional aggregates over the ranked vocab
+    (no join, no second pass), unpivoted with stack()."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), LETTER_SPLIT_RE),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_order = Window.orderBy(F.col("cnt").desc(), "word")
+    w_all = Window.partitionBy()
+    ranked = wc.select(
+        "cnt",
+        F.row_number().over(w_order).alias("rn"),
+        F.sum("cnt").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [F.first("total").alias("total")]
+    for p in _COVERAGE_PCTS:
+        hit = F.col("cum") * 100 >= F.col("total") * p
+        aggs.append(F.min(F.when(hit, F.col("rn"))).alias(f"v{p}"))
+        aggs.append(F.min(F.when(hit, F.col("cum"))).alias(f"c{p}"))
+    marks = ranked.groupBy().agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p} AS INT), v{p}, c{p}" for p in _COVERAGE_PCTS
+    )
+    return marks.select(
+        F.expr(
+            f"stack({len(_COVERAGE_PCTS)}, {stack}) AS "
+            "(coverage_pct, vocab_size, tokens_covered)"
+        ),
+        F.col("total").alias("total_tokens"),
+    ).select(
+        "coverage_pct",
+        "vocab_size",
+        "tokens_covered",
+        "total_tokens",
+        F.round(F.col("tokens_covered").cast("double") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    )
