@@ -340,3 +340,84 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .groupBy("content_hash")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_dedup_verdicts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_mod: int = 5,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental ingest dedup: per NEW document, is it a near-dup
+    of the already-indexed corpus, a near-dup of another document in
+    the same incoming batch, or unique — and does it survive ingest?
+
+    This is how fuzzy dedup actually runs in production: the corpus
+    is not re-deduped from scratch per ingest; new documents' band
+    buckets are probed against a STORED signature index plus the
+    in-flight batch. Here the "index" side is recomputed from the
+    documents table (there is no persisted index in the test
+    fixture), but the plan shape is the production one: the probe
+    join touches only buckets that contain a new document, so its
+    cost tracks batch size, not corpus size; verification explodes
+    shingles only for docs appearing in some candidate pair.
+
+    Membership is deterministic: ``id % batch_mod == 0`` marks the
+    new batch. Keep rule: a new doc survives iff it matches nothing
+    in the index AND it is the lowest-id member of any within-batch
+    near-dup group it belongs to (min-id keeper, same convention as
+    exact dedup).
+    """
+    is_new = (F.col(id_col) % batch_mod) == 0
+    sig = minhash_signature_df(shingle_pairs_df(docs, id_col, text_col))
+    bands = _cap_buckets(
+        lsh_bands_df(sig), ["band_idx", "band_hash"], max_bucket_size
+    )
+    probe = bands.where((F.col("id") % batch_mod) == 0).alias("a")
+    cands = (
+        probe.join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    )
+    sh = shingle_pairs_df(
+        docs.join(cand_ids, id_col, "left_semi"), id_col, text_col
+    ).persist()
+    ver = jaccard_verified_pairs(cands, sh, threshold)
+    other_is_new = (F.col("id_b") % batch_mod) == 0
+    agg = ver.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.when(~other_is_new, 1)).alias("n_index_dups"),
+        F.count(F.when(other_is_new, 1)).alias("n_batch_dups"),
+        F.min("id_b").alias("best_match_id"),
+        F.min(F.when(other_is_new, F.col("id_b"))).alias("_best_batch"),
+    )
+    out = docs.where(is_new).select(id_col).join(agg, id_col, "left")
+    n_index = F.coalesce(F.col("n_index_dups"), F.lit(0))
+    n_batch = F.coalesce(F.col("n_batch_dups"), F.lit(0))
+    return out.select(
+        id_col,
+        n_index.alias("n_index_dups"),
+        n_batch.alias("n_batch_dups"),
+        "best_match_id",
+        F.when(n_index > 0, F.lit("dup_of_index"))
+        .when(n_batch > 0, F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+        (
+            (n_index == 0)
+            & ((n_batch == 0) | (F.col(id_col) < F.col("_best_batch")))
+        ).alias("keep"),
+    )

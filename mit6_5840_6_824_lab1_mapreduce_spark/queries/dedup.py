@@ -553,3 +553,64 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.greatest(ca, cb) >= 0.5)
         .select("id_a", "id_b", "n_inter", ca.alias("contain_a"), cb.alias("contain_b"))
     )
+
+
+@query(
+    "dedup_incremental_new",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS other_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id <> b.id
+      WHERE a.id % 5 = 0
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.new_id, c.other_id, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.new_id
+      JOIN sh sb ON sb.id = c.other_id AND sb.shingle = sa.shingle
+      GROUP BY c.new_id, c.other_id
+    ),
+    ver AS (
+      SELECT i.new_id, i.other_id
+      FROM inter i JOIN cnt ca ON i.new_id = ca.id
+                   JOIN cnt cb ON i.other_id = cb.id
+      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    ),
+    agg AS (
+      SELECT new_id,
+             count(CASE WHEN other_id % 5 <> 0 THEN 1 END) AS n_index_dups,
+             count(CASE WHEN other_id % 5 = 0 THEN 1 END) AS n_batch_dups,
+             min(other_id) AS best_match_id,
+             min(CASE WHEN other_id % 5 = 0 THEN other_id END) AS best_batch
+      FROM ver GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_index_dups, 0) AS n_index_dups,
+           coalesce(a.n_batch_dups, 0) AS n_batch_dups,
+           a.best_match_id,
+           CASE WHEN coalesce(a.n_index_dups, 0) > 0 THEN 'dup_of_index'
+                WHEN coalesce(a.n_batch_dups, 0) > 0 THEN 'dup_in_batch'
+                ELSE 'unique' END AS verdict,
+           (coalesce(a.n_index_dups, 0) = 0
+            AND (coalesce(a.n_batch_dups, 0) = 0 OR d.doc_id < a.best_batch))
+             AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 5th document plays the NEW
+    batch arriving against the rest of the corpus as the stored
+    index. Per new doc: near-dup counts against index vs batch, a
+    deterministic keeper decision (min-id within batch groups), and
+    the survive/drop verdict — the decision a production ingest job
+    makes without ever re-deduping the full corpus. Probe join
+    touches only band buckets containing a new doc; verify shingles
+    only candidate docs."""
+    return D.incremental_dedup_verdicts(table(spark, sf_dir, "documents"))

@@ -88,3 +88,26 @@ def test_simhash_cap_drops_hot_segment_bucket(spark):
     assert len(uncapped) >= 30 * 29 // 2
     assert all(a >= 100 or b >= 100 for a, b in capped)
     assert capped <= uncapped
+
+
+def test_incremental_verdicts_consistent_with_batch_lsh(spark):
+    """The incremental path must agree with the from-scratch batch
+    dedup on the same corpus: a new doc (id % 5 == 0) has a verified
+    near-dup pair in `dedup_minhash_lsh` iff the incremental verdict
+    flags it as a dup — same signatures, same bands, same verify."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from .conftest import SF_CORRECT
+
+    batch = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_CORRECT).collect()
+    inc = REGISTRY["dedup_incremental_new"].fn(spark, SF_CORRECT).collect()
+    dup_new_ids = {
+        i
+        for r in batch
+        for i in (r.id_a, r.id_b)
+        if i % 5 == 0
+    }
+    for r in inc:
+        flagged = r.n_index_dups + r.n_batch_dups > 0
+        assert flagged == (r.doc_id in dup_new_ids), r
+        if r.verdict == "unique":
+            assert r.keep and r.best_match_id is None, r
