@@ -1147,3 +1147,178 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
         )
     )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle=r"""
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class (l_returnflag stands in
+    for the absent l_shipmode), split LATE lineitems — shipped more
+    than 90 days after the order date (the schema has no
+    commit/receipt dates) — into high- vs low-priority order counts
+    in one conditional aggregation. One fact-fact equi-join, no
+    second pass. Reference analog: the map-side classify + reduce
+    count contract of wc (`/root/reference/src/mrapps/wc.go:21-28`)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=r"""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+               AS v
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(v) AS t FROM val)
+    SELECT l_partkey AS partkey,
+           round(CAST(v AS DOUBLE), 2) AS part_value
+    FROM val, tot
+    WHERE v > t * 0.002
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction
+    of the GLOBAL total — the defining scalar-subquery-in-HAVING
+    pattern (lineitem value stands in for the absent partsupp
+    cost*qty). The per-part aggregate is one shuffle; the global
+    total is a 1-row aggregate of that same result joined back
+    broadcast (constant probe per row — never a second corpus scan).
+    Threshold arithmetic stays in exact decimal on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("v"))
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(F.col("v") > F.col("t") * F.lit("0.002").cast("decimal(4,3)"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("v").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_part_supplier_variety",
+    oracle=r"""
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 5
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can provide each
+    (brand, size) part family, excluding blacklisted suppliers —
+    observed (part, supplier) pairs from lineitem stand in for the
+    absent partsupp table; negative-balance suppliers play the
+    'customer complaints' exclusion. Anti-join against the (tiny)
+    exclusion list broadcasts; the distinct-pair projection and the
+    count-distinct share the partkey/suppkey shuffle."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle=r"""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+    ),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_tot AS (
+      SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY l_partkey
+    ),
+    qualifying AS (
+      SELECT s.l_suppkey, count(*) AS n_dominant_parts
+      FROM shipped s JOIN part_tot t ON s.l_partkey = t.l_partkey
+      WHERE s.sq > t.tq * 0.5
+      GROUP BY s.l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_dominant_parts
+    FROM qualifying JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who DOMINATE the supply of a
+    promoted part family — shipped more than half a part's total
+    quantity of 'red %'-named parts (observed shipments stand in for
+    the absent partsupp availability). The nested-subquery chain
+    decorrelates into two aggregations over the SAME
+    (partkey, suppkey) shuffle plus an equi-join back on partkey;
+    the part filter broadcasts and prunes lineitem before anything
+    aggregates. Exact decimal quantities end to end."""
+    red = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("sq"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qual = (
+        shipped.join(tot, "l_partkey")
+        .where(F.col("sq") > F.col("tq") * F.lit("0.5").cast("decimal(2,1)"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return qual.join(
+        F.broadcast(s), qual.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "n_dominant_parts")
