@@ -108,3 +108,63 @@ def connected_components(
         # runs on the non-convergence raise too — the persisted
         # adjacency table must not outlive the call
         adj.unpersist()
+
+
+def weighted_pagerank(
+    edges: DataFrame, n_iter: int = 5, scale: int = 1_000_000
+) -> DataFrame:
+    """Weighted PageRank, damping 0.85, FIXED iteration count, exact
+    integer arithmetic: ranks are scaled integers (start = `scale`),
+    per-edge contribution is ``(rank * weight) div out_weight`` and
+    the update is ``0.15*scale + (85 * inflow) div 100`` — floor
+    division everywhere, so the result is bit-identical on any
+    engine/partitioning (no float summation ever occurs). The fixed
+    count (vs convergence test) keeps the op expressible as chained
+    SQL CTEs for the oracle; production would loop to an epsilon the
+    same way connected_components does.
+
+    ``edges``: (src, dst, weight>0) directed. Returns (node,
+    rank_scaled). Per round: one join keyed on src (adjacency cached
+    co-partitioned) + one aggregate by dst — edge-count-proportional
+    shuffles, the same shape GraphX/Pregel lowers to. Lineage is
+    truncated per round (`localCheckpoint`) like the CC loop.
+    int64 headroom: rank mass is bounded by |V|*scale, so
+    rank*weight needs |V|*scale*max_w < 2^63 — at web scale move
+    `scale` down or the contribution column to decimal(38,0).
+    """
+    adj = edges.select("src", "dst", F.col("weight").alias("w"))
+    outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
+    adj = adj.join(outw, "src").repartition("src").persist()
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = int(0.15 * scale)
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("r")
+    ).localCheckpoint()
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                adj.join(ranks, adj.src == ranks.node)
+                .select(F.col("dst").alias("node"), F.expr("(r * w) div ow").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                    ).alias("r"),
+                )
+                .localCheckpoint()
+            )
+        return ranks.select("node", F.col("r").alias("rank_scaled"))
+    finally:
+        adj.unpersist()
+        nodes.unpersist()

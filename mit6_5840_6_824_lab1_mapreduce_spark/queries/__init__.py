@@ -27,5 +27,6 @@ from . import training  # noqa: E402,F401
 from . import scrub  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

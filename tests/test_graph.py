@@ -58,3 +58,19 @@ def test_components_max_iter_zero_raises_runtime_error(spark):
     edges = spark.createDataFrame([Row(id_a=1, id_b=2)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_iter=0)
+
+
+def test_pagerank_mass_and_floor_bounds(spark):
+    """Integer PageRank invariants: every rank >= the damping base
+    (0.15 * scale); total mass never exceeds the initial |V| * scale
+    (floor division only loses mass, never creates it)."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from .conftest import SF_CORRECT
+
+    rows = REGISTRY["graph_pagerank_nations"].fn(spark, SF_CORRECT).collect()
+    assert rows
+    n = len(rows)
+    assert all(r.rank_scaled >= 150_000 for r in rows)
+    assert sum(r.rank_scaled for r in rows) <= n * 1_000_000
+    # a real trade network concentrates rank: not all equal
+    assert len({r.rank_scaled for r in rows}) > 1
