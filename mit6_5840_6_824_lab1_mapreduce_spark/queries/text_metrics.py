@@ -747,3 +747,70 @@ def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pair_n").cast("double") / F.col("w1_n"), 6).alias("cond_p"),
         F.row_number().over(rk).alias("rk"),
     )
+
+
+@query(
+    "text_bigram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+        THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM toks
+    ),
+    cg AS (SELECT gram, count(*) AS n FROM dg GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty,
+           round(CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) > 0.3 AS too_novel
+    FROM dg JOIN cg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality gate without a float log-sum: per
+    document, the fraction of its bigram instances that are RARE in
+    the corpus LM (count < 3) plus the hapax count (bigrams unique to
+    this doc). High novelty means the doc's word transitions are
+    unsupported by the rest of the corpus — the cheap integer-exact
+    stand-in for "high perplexity under a corpus n-gram LM" that
+    production quality filters bootstrap from (the real LM filter
+    swaps the <3 test for a log-prob threshold, same plan).
+
+    Plan shape: the doc-gram explode feeds BOTH the LM counts (gram
+    groupBy, map-side combine) and the per-doc join — corpus text is
+    read once; the gram⋈count equi-join shuffles both sides on the
+    same gram key, and the per-doc aggregate rides the doc_id
+    shuffle. Docs with < 2 tokens have no bigrams and no row (their
+    quality signal comes from the length gate instead)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts"),
+    )
+    dg = toks.select(
+        "doc_id", F.explode(D.gram_windows(F.col("ts"), 2)).alias("gram")
+    )
+    cg = dg.groupBy("gram").agg(F.count("*").alias("n"))
+    rare = F.sum(F.when(F.col("n") < 3, 1).otherwise(0))
+    novelty = F.round(rare.cast("double") / F.count("*"), 6)
+    return (
+        dg.join(cg, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            rare.alias("n_rare"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+            novelty.alias("novelty"),
+            (novelty > 0.3).alias("too_novel"),
+        )
+    )
