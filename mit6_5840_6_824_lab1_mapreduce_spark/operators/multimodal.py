@@ -21,12 +21,17 @@ Decode status by modality:
   codec library needed for an uncompressed raster — and returns
   dimensions + per-channel means. ``bmp_payload`` generates the
   deterministic test corpus.
-- video: compressed-stream parsing genuinely needs a codec library
-  (av), so that branch raises ``NotImplementedError`` unless
-  ``fake=True``, in which case a deterministic md5-derived feature
-  vector stands in.
+- **video: REAL.** Payloads are uncompressed AVI containers (RIFF
+  'AVI ': hdrl list with avih + vids/'DIB ' stream headers, movi
+  list of raw bottom-up padded 24-bit frames); ``decode_asset``
+  walks the chunk list with stdlib ``struct`` and returns
+  dimensions, frame count, fps, and per-channel means.
+  ``avi_payload`` generates the deterministic test corpus.
+  COMPRESSED streams (the common case in the wild) still need a
+  codec library (av) — that path raises ``NotImplementedError``
+  unless ``fake=True`` (md5-derived stand-in, same shape contract).
 The Spark-side plumbing — schema, batching, UDF signatures — is real
-and tested for all three.
+and tested for all three, and so is the decode itself.
 """
 
 from __future__ import annotations
@@ -335,10 +340,16 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
     that is what an uncompressed BMP IS; compressed formats need a
     codec library.
 
-    video: a compressed-stream codec (av) is not in this container —
-    that branch is intentionally unimplemented; `fake=True` produces
-    a deterministic md5-derived vector with the same shape contract
-    the real decoder would have."""
+    video: REAL decode for uncompressed AVI — stdlib ``struct``
+    parses the RIFF 'AVI ' container (avih main header for
+    dimensions/fps, then walks the movi list chunk by chunk summing
+    raw '00db' frame pixels). Feature layout: [width, height,
+    n_frames, fps, mean_r, mean_g, mean_b, file_bytes]. Only the
+    uncompressed 24-bit DIB stream is supported — that is what an
+    uncompressed AVI IS; compressed streams (the common case in the
+    wild) need a codec library (av), and `fake=True` remains the
+    md5-derived stand-in with the same shape contract for payloads
+    this parser cannot handle."""
     if modality == "image" and content[:2] == b"BM":
         _magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", content, 0)
         _dib, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
@@ -380,6 +391,48 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
         peak = float(max(abs(s) for s in samples))
         mean = sum(samples) / n
         return [float(nch), float(sw), float(rate), float(nf), rms, peak, mean, nf / rate]
+    if modality == "video" and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        apos = content.find(b"avih")
+        usec_per_frame, _mbps, _pad, _flags, _nf_hdr, _init, _streams, _sugg, w, h = (
+            struct.unpack_from("<10I", content, apos + 8)
+        )
+        spos = content.find(b"strf")
+        _sz, _w, _h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, spos + 8)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"AVI decode supports uncompressed 24-bit DIB only "
+                f"(bpp={bpp}, compression={comp}); compressed streams "
+                "need a codec"
+            )
+        row_size = (3 * w + 3) // 4 * 4
+        # walk the movi list chunk by chunk (never content.find on
+        # frame fourccs — pixel bytes could contain them)
+        p = content.find(b"movi") + 4
+        sum_r = sum_g = sum_b = 0
+        nf = 0
+        while p + 8 <= len(content):
+            cc = content[p : p + 4]
+            size = struct.unpack_from("<I", content, p + 4)[0]
+            if cc == b"00db":
+                fr = content[p + 8 : p + 8 + size]
+                for row_i in range(h):
+                    row = fr[row_i * row_size : row_i * row_size + 3 * w]
+                    sum_b += sum(row[0::3])
+                    sum_g += sum(row[1::3])
+                    sum_r += sum(row[2::3])
+                nf += 1
+            p += 8 + size + (size & 1)  # chunks are word-aligned
+        n = w * h * nf
+        return [
+            float(w),
+            float(h),
+            float(nf),
+            1_000_000 / usec_per_frame,
+            sum_r / n,
+            sum_g / n,
+            sum_b / n,
+            float(len(content)),
+        ]
     if not fake:
         raise NotImplementedError(
             f"no codec available for modality={modality!r}; "
@@ -462,3 +515,113 @@ def resize_assets(assets: DataFrame, stride: int = 4) -> DataFrame:
     return assets.mapInPandas(
         run, schema="asset_id long, modality string, orig_bytes long, resized binary"
     )
+
+
+# Deterministic AVI generation contract (shared verbatim with the SQL
+# oracle — container built on one side, parsed on the other):
+#   w(id) = 4 + id % 6 ; h(id) = 2 + id % 4 ; n_frames(id) = 2 + id % 4
+#   fps = 10 ; global pixel index k = f*(w*h) + y*w + x (row-major
+#   from the TOP of each frame, frames in order):
+#     r(id, k) = (id * 11 + k * 29) % 256
+#     g(id, k) = (id * 17 + k * 31) % 256
+#     b(id, k) = (id * 23 + k * 37) % 256
+VIDEO_W_BASE, VIDEO_W_MOD = 4, 6
+VIDEO_H_BASE, VIDEO_H_MOD = 2, 4
+VIDEO_NF_BASE, VIDEO_NF_MOD = 2, 4
+VIDEO_FPS = 10
+
+
+def avi_dims(asset_id: int) -> tuple[int, int, int]:
+    return (
+        VIDEO_W_BASE + asset_id % VIDEO_W_MOD,
+        VIDEO_H_BASE + asset_id % VIDEO_H_MOD,
+        VIDEO_NF_BASE + asset_id % VIDEO_NF_MOD,
+    )
+
+
+def avi_payload(asset_id: int) -> bytes:
+    """A real, deterministic uncompressed AVI container (RIFF 'AVI ':
+    hdrl list with avih + vids/'DIB ' stream headers, movi list of
+    raw bottom-up padded 24-bit '00db' frames — the layout every AVI
+    reader expects for uncompressed video). stdlib-only, the video
+    sibling of ``wav_payload`` / ``bmp_payload``."""
+    w, h, nf = avi_dims(asset_id)
+    row_size = (3 * w + 3) // 4 * 4
+    frame_size = row_size * h
+
+    def frame(f: int) -> bytes:
+        rows = []
+        for y in reversed(range(h)):  # bottom-up row order, like BMP
+            row = bytearray()
+            for x in range(w):
+                k = f * (w * h) + y * w + x
+                row += bytes(
+                    (
+                        (asset_id * 23 + k * 37) % 256,  # stored B,G,R
+                        (asset_id * 17 + k * 31) % 256,
+                        (asset_id * 11 + k * 29) % 256,
+                    )
+                )
+            row += b"\0" * (row_size - 3 * w)
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // VIDEO_FPS,  # dwMicroSecPerFrame
+        frame_size * VIDEO_FPS,  # dwMaxBytesPerSec
+        0,                       # dwPaddingGranularity
+        0x10,                    # dwFlags: AVIF_HASINDEX off, 0x10 = was-capture-file (benign)
+        nf, 0, 1,                # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_size, w, h,        # dwSuggestedBufferSize, dwWidth, dwHeight
+        0, 0, 0, 0,              # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0,
+        0,                 # dwInitialFrames
+        1, VIDEO_FPS,      # dwScale, dwRate -> fps = rate/scale
+        0, nf,             # dwStart, dwLength (frames)
+        frame_size, 0, 0,  # dwSuggestedBufferSize, dwQuality, dwSampleSize
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body
+
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", frame(f)) for f in range(nf))
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_features_df(docs: DataFrame) -> DataFrame:
+    """Fused video build→decode in ONE Arrow stage (the
+    ``audio_features_df`` / ``image_features_df`` triplet-closer):
+    ids in (modality assignment ``doc_id % 3 == 2``), decoded features
+    out. The AVI round-trip is real — containers are built
+    byte-for-byte and parsed back by ``decode_asset`` inside the
+    batch — and the payload never crosses a stage boundary."""
+    ids = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [avi_payload(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, "video") for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -123,6 +123,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + sum(b) / CAST(count(*) AS DOUBLE)
                    + 54 + ((3 * w + 3) // 4) * 4 * h, 6) AS feat_sum
       FROM ipx GROUP BY doc_id, w, h
+    ), vid AS (
+      SELECT doc_id, 4 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), vpx AS (
+      SELECT doc_id, w, h, nf,
+             (doc_id * 11 + k * 29) % 256 AS r,
+             (doc_id * 17 + k * 31) % 256 AS g,
+             (doc_id * 23 + k * 37) % 256 AS b
+      FROM vid, unnest(range(0, w * h * nf)) AS t(k)
+    ), vstats AS (
+      SELECT doc_id,
+             CAST(224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)
+               AS n_bytes,
+             round(CAST(w AS DOUBLE) + h + nf + 10
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h), 6)
+               AS feat_sum
+      FROM vpx GROUP BY doc_id, w, h, nf
     )
     SELECT d.doc_id AS asset_id,
            CASE WHEN d.doc_id % 3 = 0 THEN 'image'
@@ -130,49 +151,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'video' END AS modality,
            CASE WHEN d.doc_id % 3 = 1 THEN a.n_bytes
                 WHEN d.doc_id % 3 = 0 THEN i.n_bytes
-                ELSE length(d.text) END AS n_bytes,
+                ELSE v.n_bytes END AS n_bytes,
            CASE WHEN d.doc_id % 3 = 1 THEN a.feat_sum
                 WHEN d.doc_id % 3 = 0 THEN i.feat_sum
-                ELSE round(0.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  1, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text),  2, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  3, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text),  4, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  5, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text),  6, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  7, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text),  8, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text),  9, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text), 10, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 11, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text), 12, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 13, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text), 14, 1)) - 1)) / 255.0
-             + (16 * (strpos('0123456789abcdef', substr(md5(d.text), 15, 1)) - 1)
-                   + (strpos('0123456789abcdef', substr(md5(d.text), 16, 1)) - 1)) / 255.0
-           , 6) END AS feat_sum
+                ELSE v.feat_sum END AS feat_sum
     FROM documents d
       LEFT JOIN astats a ON d.doc_id = a.doc_id
       LEFT JOIN istats i ON d.doc_id = i.doc_id
+      LEFT JOIN vstats v ON d.doc_id = v.doc_id
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end decode path, routed by whether decode is REAL:
-    audio rows are real WAV containers and image rows real BMP
-    containers, each built and parsed inside its own fused Arrow
-    `mapInPandas` stage — only those rows enter Python, fed by a
-    single pruned id column, and the payload never crosses a stage
-    boundary (`audio_features_df` / `image_features_df`). Video rows'
-    stand-in decode is just md5-digest arithmetic, so it folds into
-    JVM expressions — no Arrow transfer for that third of the corpus.
-    The oracle recomputes all three paths in SQL. At scale this split
-    is the pattern: pay the Python/Arrow toll exactly once, exactly
-    where a real codec runs; everything else stays in whole-stage
-    codegen."""
+    """End-to-end decode over ALL THREE modalities, every one REAL:
+    audio rows are WAV containers, image rows uncompressed BMP,
+    video rows uncompressed AVI — each built and parsed inside its
+    own fused Arrow `mapInPandas` stage, fed by a single pruned id
+    column, with the payload never crossing a stage boundary
+    (`audio_features_df` / `image_features_df` / `video_features_df`).
+    The oracle recomputes all three decode paths arithmetically in
+    SQL. At scale this is the pattern: pay the Python/Arrow toll
+    exactly once per modality, exactly where a real codec runs;
+    everything around the decode stays in whole-stage codegen."""
     from ..operators.multimodal import (
-        assets_from_documents,
         audio_features_df,
         image_features_df,
+        video_features_df,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -181,20 +184,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("feat_sum")
     audio = audio_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
     image = image_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
-    v = assets_from_documents(docs).where(F.col("modality") == "video")
-    h = F.col("meta.digest")
-    feat_sum = F.lit(0.0)
-    for k in range(8):  # digest bytes [0:8] / 255 — same fold order as decode_asset
-        feat_sum = feat_sum + F.conv(F.substring(h, 2 * k + 1, 2), 16, 10).cast(
-            "double"
-        ) / 255.0
-    v_feats = v.select(
-        "asset_id",
-        "modality",
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.round(feat_sum, 6).alias("feat_sum"),
-    )
-    return audio.unionByName(image).unionByName(v_feats)
+    video = video_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
+    return audio.unionByName(image).unionByName(video)
 
 
 @query(
@@ -331,4 +322,62 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_bytes",
         F.octet_length("resized").cast("long").alias("resized_bytes"),
         F.md5("resized").alias("resized_digest"),
+    )
+
+
+@query(
+    "multimodal_video_decode",
+    oracle=r"""
+    WITH vid AS (
+      SELECT doc_id AS asset_id, 4 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), px AS (
+      SELECT asset_id, w, h, nf,
+             (asset_id * 11 + k * 29) % 256 AS r,
+             (asset_id * 17 + k * 31) % 256 AS g,
+             (asset_id * 23 + k * 37) % 256 AS b
+      FROM vid, unnest(range(0, w * h * nf)) AS t(k)
+    )
+    SELECT asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           10 AS fps,
+           round(sum(r) / CAST(count(*) AS DOUBLE), 6) AS mean_r,
+           round(sum(g) / CAST(count(*) AS DOUBLE), 6) AS mean_g,
+           round(sum(b) / CAST(count(*) AS DOUBLE), 6) AS mean_b,
+           CAST(224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)
+             AS file_bytes
+    FROM px GROUP BY asset_id, w, h, nf
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, no fake anywhere: video assets are
+    uncompressed AVI containers (RIFF hdrl/movi lists, raw 24-bit
+    bottom-up DIB frames) built byte-for-byte and parsed back by
+    stdlib `struct` inside the fused Arrow `mapInPandas` stage
+    (`decode_asset` with fake=False, walking the movi chunk list);
+    the oracle regenerates every frame's pixel grid arithmetically.
+    Dimensions, frame count, fps (from dwMicroSecPerFrame), padded
+    per-frame pixel means, and the exact container byte size are
+    verified field by field — any mistake in chunk walking, row
+    padding, frame ordering, or BGR layout breaks the hash.
+
+    Reference analog: decode is the modern map UDF
+    (/root/reference/src/mr/worker.go:32-33)."""
+    from ..operators.multimodal import video_features_df
+
+    feats = video_features_df(table(spark, sf_dir, "documents"))
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("n_frames"),
+        f[3].cast("int").alias("fps"),
+        F.round(f[4], 6).alias("mean_r"),
+        F.round(f[5], 6).alias("mean_g"),
+        F.round(f[6], 6).alias("mean_b"),
+        f[7].cast("long").alias("file_bytes"),
     )

@@ -25,6 +25,7 @@ PYTHON_REQUIRED = {
     "multimodal_resize",
     "multimodal_audio_decode",
     "multimodal_image_decode",
+    "multimodal_video_decode",
 }
 
 # BroadcastNestedLoopJoin is sanctioned ONLY where the build side is
