@@ -1322,3 +1322,147 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qual.join(
         F.broadcast(s), qual.l_suppkey == s.s_suppkey
     ).select("s_suppkey", "s_name", "n_dominant_parts")
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=r"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC,    o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary  DESC,    o_custkey) AS m_q
+      FROM cust
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS segment_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle-marketing rollup: quartile each dimension
+    independently (tie-broken ntile → deterministic), then aggregate
+    customers per (R,F,M) cell. Recency anchors on the global max
+    order date, computed as a window over the per-customer aggregate
+    (one row per customer — the global windows here are bounded at
+    any scale, same contract as customer_spend_quartiles)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        sum_money("o_totalprice", "monetary"),
+    )
+    w_all = Window.partitionBy()
+    cust = cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_order").over(w_all), F.col("last_order")),
+    )
+    scored = (
+        cust.withColumn(
+            "r_q", F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        )
+        .withColumn(
+            "f_q", F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        )
+        .withColumn(
+            "m_q", F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        )
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        sum_money("monetary", "segment_monetary"),
+    )
+
+
+@query(
+    "orders_market_basket",
+    oracle=r"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    part_n AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS co_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT part_a, part_b, co_orders
+      FROM pairs ORDER BY co_orders DESC, part_a, part_b LIMIT 20
+    )
+    SELECT t.part_a, t.part_b, t.co_orders,
+           CAST(pa.cnt AS BIGINT) AS n_a, CAST(pb.cnt AS BIGINT) AS n_b,
+           round(CAST(t.co_orders AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(t.co_orders AS DOUBLE) * n.n / (pa.cnt * pb.cnt), 6)
+             AS lift
+    FROM top t
+    JOIN part_n pa ON t.part_a = pa.l_partkey
+    JOIN part_n pb ON t.part_b = pb.l_partkey
+    CROSS JOIN n_ord n
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs by co-occurrence
+    within orders, with support and lift. The pair join is a
+    self-equi-join ON THE ORDER KEY — cost is Σ_order k²/2 with k
+    bounded by basket size (≤13 here, ≤ dozens in any realistic
+    basket), never corpus-quadratic. Top-k is TakeOrderedAndProject;
+    the per-part counts and order total join back against the 20
+    surviving rows (broadcast + a 1-row scalar). Lift arithmetic is
+    exact integers until one final double division."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = op.select(F.countDistinct("l_orderkey").alias("n"))
+    part_n = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("co_orders"))
+    )
+    top = pairs.orderBy(F.desc("co_orders"), "part_a", "part_b").limit(20)
+    pa = part_n.withColumnsRenamed({"l_partkey": "part_a", "cnt": "n_a"})
+    pb = part_n.withColumnsRenamed({"l_partkey": "part_b", "cnt": "n_b"})
+    return (
+        top.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .join(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            "n_a",
+            "n_b",
+            F.round(F.col("co_orders").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("co_orders").cast("double")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -223,3 +223,48 @@ def test_stratified_sample_and_topk_push_window_limit(spark):
     partition."""
     for name in ("corpus_stratified_sample", "ngram_topk_per_source"):
         assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_cms_counters_probe_is_broadcast_join(spark):
+    """The count-min probe must join the 2048-row counter state as a
+    broadcast — a shuffled join against constant-size sketch state
+    would serialize the whole pipeline through one exchange."""
+    plan = _plan(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the top-20 word probe
+
+
+def test_kmv_final_topk_rides_salted_partials(spark):
+    """Two-phase min-k: the salted partial window must appear (32-way
+    parallel top-k) before the per-source final window."""
+    plan = _plan(spark, "sketch_kmv_distinct")
+    # both windows present; the salted one partitions by (source, h%32)
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_market_basket_pair_join_is_keyed_on_order(spark):
+    """The pair self-join must be an equi-join on l_orderkey (cost
+    bounded by basket size), never a cartesian, and the count lookups
+    against the 20 survivors must broadcast."""
+    plan = _plan(spark, "orders_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_share_threshold_is_equi_join_back(spark):
+    """Q20's dominant-share test joins the per-part totals back on
+    partkey — an equi-join, not a nested-loop against a scalar."""
+    plan = _plan(spark, "tpch_q20_promotion_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_video_decode_is_single_arrow_stage(spark):
+    """The fused build→decode must cross into Python exactly once:
+    one MapInPandas stage, fed by a pruned id-only projection."""
+    plan = _plan(spark, "multimodal_video_decode")
+    assert plan.count("MapInPandas") == 1
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read  # only doc_id enters the Arrow stage

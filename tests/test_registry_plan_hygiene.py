@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "text_tfidf_top_terms",
     "kv_get_at_seq",
     "tpch_q11_important_parts",  # global-value total: 1-row broadcast
+    "orders_market_basket",  # order-count scalar: 1-row broadcast
 }
 
 CASES = sorted(REGISTRY)
