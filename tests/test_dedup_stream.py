@@ -1,0 +1,96 @@
+"""Streaming ingest dedup: micro-batches probe the accumulated
+signature index, survivors extend it, verdicts are exactly-once.
+Stream result must equal driving the same batches sequentially by
+hand, and re-applying a batch (crash replay) must be a no-op."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mit6_5840_6_824_lab1_mapreduce_spark.streaming.dedup_stream import (
+    ingest_batch,
+    stream_dedup_ingest,
+)
+
+A = "alpha bravo charlie delta echo foxtrot golf hotel"
+B = "india juliet kilo lima mike november oscar papa"
+C = "quebec romeo sierra tango uniform victor whiskey xray"
+
+# (doc_id, text) per micro-batch: batch 0 has an internal dup pair,
+# batch 1 replays an indexed text and adds a new one, batch 2 replays
+# batch 1's new text.
+BATCHES = [
+    [(1, A), (2, A), (10, B)],
+    [(3, A), (4, C)],
+    [(5, C), (6, B)],
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _drive_manually(spark, tmp_path, tag):
+    index = str(tmp_path / f"idx_{tag}")
+    verd = str(tmp_path / f"verd_{tag}")
+    for rows in BATCHES:
+        ingest_batch(spark.createDataFrame(rows, SCHEMA), index, verd)
+    return index, verd
+
+
+def _verdicts(spark, path):
+    return {
+        r.doc_id: (r.n_index_dups, r.n_batch_dups, r.best_match_id, r.verdict, r.keep)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_ingest_batch_sequence_semantics(spark, tmp_path):
+    index, verd = _drive_manually(spark, tmp_path, "manual")
+    got = _verdicts(spark, verd)
+    assert got[1] == (0, 1, 2, "dup_in_batch", True)  # min-id keeper
+    assert got[2] == (0, 1, 1, "dup_in_batch", False)
+    assert got[10] == (0, 0, None, "unique", True)
+    assert got[3] == (1, 0, 1, "dup_of_index", False)  # replays A
+    assert got[4] == (0, 0, None, "unique", True)
+    assert got[5] == (1, 0, 4, "dup_of_index", False)  # replays C
+    assert got[6] == (1, 0, 10, "dup_of_index", False)  # replays B
+    kept = {r.id for r in spark.read.parquet(index).select("id").collect()}
+    assert kept == {1, 10, 4}
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    index, verd = _drive_manually(spark, tmp_path, "replay")
+    before_v = _verdicts(spark, verd)
+    before_i = {r.id for r in spark.read.parquet(index).collect()}
+    # crash replay: the LAST batch is re-applied
+    ingest_batch(spark.createDataFrame(BATCHES[-1], SCHEMA), index, verd)
+    assert _verdicts(spark, verd) == before_v
+    assert {r.id for r in spark.read.parquet(index).collect()} == before_i
+
+
+def test_stream_matches_sequential_batches(spark, tmp_path):
+    # lay the batches down as one parquet file each; maxFilesPerTrigger=1
+    # makes each file a micro-batch, in modification-time order
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, rows in enumerate(BATCHES):
+        f = str(src / f"batch_{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f)
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch_*"))
+    )
+    index = str(tmp_path / "idx_stream")
+    verd = str(tmp_path / "verd_stream")
+    q = stream_dedup_ingest(
+        stream, index, verd, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    ref_index, ref_verd = _drive_manually(spark, tmp_path, "ref")
+    assert _verdicts(spark, verd) == _verdicts(spark, ref_verd)
+    assert {r.id for r in spark.read.parquet(index).collect()} == {
+        r.id for r in spark.read.parquet(ref_index).collect()
+    }
