@@ -597,3 +597,120 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@query(
+    "events_action_markov",
+    oracle=r"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_action, next_type AS to_action,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_action, CAST(sum(n) AS BIGINT) AS from_n
+      FROM trans GROUP BY from_action
+    )
+    SELECT t.from_action, t.to_action, t.n AS n_transitions,
+           o.from_n,
+           round(CAST(t.n AS DOUBLE) / o.from_n, 6) AS p_transition
+    FROM trans t JOIN tot o ON t.from_action = o.from_action
+    """,
+)
+def events_action_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user action streams:
+    P(next action | action), from lead() pairs within each user's
+    (ts, event_id)-ordered event sequence — the behavioral model
+    behind next-action prediction and funnel anomaly detection. One
+    user_id shuffle for the window; the transition aggregate and the
+    per-source totals collapse to an action-pair table (|A|² rows —
+    constant-size for any corpus)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_action"),
+        F.col("next_type").alias("to_action"),
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = trans.groupBy("from_action").agg(
+        F.sum("n_transitions").alias("from_n")
+    )
+    return trans.join(F.broadcast(tot), "from_action").select(
+        "from_action",
+        "to_action",
+        "n_transitions",
+        "from_n",
+        F.round(F.col("n_transitions").cast("double") / F.col("from_n"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+@query(
+    "events_mad_outliers",
+    oracle=r"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value,
+             abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_events,
+           round(max(d.med), 4) AS median_value,
+           round(max(m.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: per event type, count events whose
+    absolute deviation from the median exceeds 3x the median absolute
+    deviation — the screen that survives the heavy tails that break
+    the 3-sigma rule (`events_outlier_stats` is the moment-based
+    sibling). Exact linear-interpolation medians on both engines;
+    the deviation comparison is per-row arithmetic on top of two
+    broadcast-joined per-type aggregates (|event types| rows)."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -1466,3 +1466,63 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "orders_pareto_share",
+    oracle=r"""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             count(*) OVER () AS n_cust,
+             sum(s) OVER (ORDER BY s DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(s) OVER () AS total
+      FROM spend
+    )
+    SELECT CAST(pct AS INT) AS top_pct,
+           CAST(max(rn) AS BIGINT) AS n_top_customers,
+           round(CAST(max(cum) AS DOUBLE), 2) AS top_revenue,
+           round(CAST(max(cum) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM ranked, unnest([1, 5, 10, 20]) AS t(pct)
+    WHERE rn * 100 <= n_cust * pct
+    GROUP BY pct
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of total revenue do the top
+    1/5/10/20% of customers produce — the 80/20 report every revenue
+    dashboard opens with. Thresholds are integer-exact
+    (rn*100 <= n*pct); the ranking window runs over the per-customer
+    aggregate (one row per customer, bounded); the four cuts are
+    conditional aggregates over the ranked rows, no join."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("s")
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_all).alias("n_cust"),
+        F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("s").over(w_all).alias("total"),
+    )
+    pcts = F.array([F.lit(p) for p in (1, 5, 10, 20)])
+    hits = ranked.select(
+        "rn", "cum", "total", F.explode(pcts).alias("top_pct")
+    ).where(F.col("rn") * 100 <= F.col("n_cust") * F.col("top_pct"))
+    return hits.groupBy("top_pct").agg(
+        F.max("rn").alias("n_top_customers"),
+        F.round(F.max("cum").cast("double"), 2).alias("top_revenue"),
+        F.round(
+            F.max("cum").cast("double") / F.max("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )
