@@ -106,3 +106,82 @@ def decontam_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("shared_grams").alias("total_shared"),
         )
     )
+
+
+# --- semantic decontamination (embedding side) -----------------------
+
+# Reuse the similarity suite's exact-arithmetic fragments so the two
+# oracles can never drift: int64 quantization, hyperplane buckets,
+# and the rounded cosine.
+from .similarity import _COS_SQL, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
+
+EMB_HOLDOUT_MOD = 10  # vec_id % 10 == 0 → benchmark side
+EMB_COS_THRESHOLD = 0.45
+
+
+@query(
+    "decontam_embedding_overlap",
+    oracle=rf"""
+    WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
+    {_QUANT_SQL},
+    pv AS (
+      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM pv GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    hits AS (
+      SELECT a.vec_id AS corpus_id, b.vec_id AS holdout_id,
+             {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} AS cos
+      FROM nb a JOIN nb b
+        ON a.bucket = b.bucket
+       AND a.vec_id % {EMB_HOLDOUT_MOD} <> 0
+       AND b.vec_id % {EMB_HOLDOUT_MOD} = 0
+    )
+    SELECT corpus_id,
+           count(*) AS n_holdout_hits,
+           round(max(cos), 6) AS max_cos
+    FROM hits WHERE cos >= {EMB_COS_THRESHOLD}
+    GROUP BY corpus_id
+    """,
+)
+def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    the n-gram screen above: corpus vectors whose cosine against any
+    held-out benchmark vector (vec_id % 10 == 0 stands in) clears
+    0.45 are flagged with their hit count and best score. Paraphrased
+    leakage that shares no 3-gram still lands here.
+
+    Scale shape: candidate generation is the hyperplane-LSH bucket
+    equi-join from the similarity suite (never corpus × holdout);
+    cosine arithmetic rides the repo-wide int64 quantization contract
+    so both engines agree bit-for-bit. At a real 100 TB split the
+    holdout side is small enough to broadcast — the bucket join then
+    degenerates to a map-side probe."""
+    from ..operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes()
+    v = S.embeddings_quantized(emb).withColumn(
+        "bucket", S.lsh_bucket(F.col("q"), planes)
+    )
+    corp = v.where(F.col("vec_id") % EMB_HOLDOUT_MOD != 0).alias("a")
+    hold = v.where(F.col("vec_id") % EMB_HOLDOUT_MOD == 0).alias("b")
+    cos = S.cosine(
+        F.col("a.q"), F.col("b.q"), F.col("a.n2"), F.col("b.n2")
+    )
+    hits = (
+        corp.join(F.broadcast(hold), F.col("a.bucket") == F.col("b.bucket"))
+        .select(F.col("a.vec_id").alias("corpus_id"), cos.alias("cos"))
+        .where(F.col("cos") >= EMB_COS_THRESHOLD)
+    )
+    return hits.groupBy("corpus_id").agg(
+        F.count("*").alias("n_holdout_hits"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
