@@ -445,3 +445,100 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@query(
+    "sketch_kmv_merge",
+    oracle=rf"""
+    WITH {_SHINGLE_SET_SQL},
+    hashed AS (
+      SELECT source, shingle,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+      FROM shingles
+    ),
+    per_source AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, shingle) AS rn
+        FROM hashed) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM per_source)) WHERE rn = {_KMV_K}
+    ),
+    direct AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashed)) WHERE rn = {_KMV_K}
+    ),
+    exact AS (SELECT count(DISTINCT shingle) AS n_exact FROM shingles)
+    SELECT (SELECT count(DISTINCT source) FROM shingles) AS n_sources,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           m.h AS kth_hash_merged,
+           d.h AS kth_hash_direct,
+           m.h = d.h AS merged_equals_direct,
+           round({_KMV_K - 1}.0 * {float(_H60_MAX)!r}
+                 / CAST(m.h AS DOUBLE), 4) AS kmv_estimate
+    FROM merged m, direct d, exact e
+    """,
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY — the property that makes sketches work on a
+    cluster: the union of per-source k-min sketches, re-minned to k,
+    must equal the sketch computed directly over the global distinct
+    set (every global top-k hash is inside its source's top-k). This
+    query computes BOTH and emits them side by side; the oracle's
+    hash-compare turns the mergeability theorem into a checked
+    invariant, and `merged_equals_direct` makes it visible.
+
+    Scale shape: per-source sketches are the bounded per-partition
+    states a real cluster would ship to one reducer (k rows per
+    source); the merge is a window over n_sources*k rows — constant.
+    The exact count exists only to grade the estimate."""
+    hashed = _shingle_set(spark, sf_dir).select(
+        "source", "shingle", _h60(F.col("shingle")).alias("h")
+    )
+    per_src = Window.partitionBy("source").orderBy("h", "shingle")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(per_src))
+        .where(F.col("rn") <= _KMV_K)
+        .select("h")
+        .distinct()
+    )
+    w_h = Window.orderBy("h")
+    merged = (
+        sketches.withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") == _KMV_K)
+        .select(F.col("h").alias("kth_hash_merged"))
+    )
+    direct = (
+        hashed.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") == _KMV_K)
+        .select(F.col("h").alias("kth_hash_direct"))
+    )
+    exact = hashed.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("shingle").alias("n_exact"),
+    )
+    return (
+        exact.join(F.broadcast(merged))
+        .join(F.broadcast(direct))
+        .select(
+            "n_sources",
+            "n_exact",
+            "kth_hash_merged",
+            "kth_hash_direct",
+            (F.col("kth_hash_merged") == F.col("kth_hash_direct")).alias(
+                "merged_equals_direct"
+            ),
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(_H60_MAX))
+                / F.col("kth_hash_merged").cast("double"),
+                4,
+            ).alias("kmv_estimate"),
+        )
+    )

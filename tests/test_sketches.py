@@ -75,3 +75,12 @@ def test_vocab_coverage_monotone(spark):
         # The cut is the FIRST rank reaching the threshold.
         assert r.coverage >= r.coverage_pct / 100.0
         assert r.total_tokens == rows[0].total_tokens
+
+
+def test_kmv_merge_equals_direct(spark):
+    """Mergeability, asserted end to end: union-of-sketches re-minned
+    to k must equal the directly computed global sketch."""
+    (row,) = REGISTRY["sketch_kmv_merge"].fn(spark, SF_CORRECT).collect()
+    assert row.merged_equals_direct
+    assert row.kth_hash_merged == row.kth_hash_direct
+    assert row.n_exact > 0 and row.kmv_estimate > 0
