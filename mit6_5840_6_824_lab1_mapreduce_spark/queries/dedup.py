@@ -614,3 +614,69 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only band buckets containing a new doc; verify shingles
     only candidate docs."""
     return D.incremental_dedup_verdicts(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+      SELECT round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS j
+      FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
+      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.7
+    )
+    SELECT count(*) AS n_pairs_070,
+           CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_080,
+           CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_090,
+           CAST(sum(CASE WHEN j >= round(1.0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_exact,
+           round(min(j), 6) AS min_jaccard,
+           round(CAST(sum(CAST(j * 1000000 AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / count(*), 6) AS mean_jaccard
+    FROM jac
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the fuzzy-dedup gate: ONE verify
+    pass at the loosest threshold (0.7) yields the pair counts at
+    0.7 / 0.8 / 0.9 / exact-1.0 plus the score distribution edges —
+    the report an operator reads before picking the production
+    cutoff, at the cost of a single run instead of four. The mean is
+    computed from integer-scaled scores (sum of round(j*1e6) ints)
+    so no float summation order reaches the hash compare."""
+    pairs = D.minhash_lsh_dedup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    )
+    j = F.col("jaccard")
+    return pairs.agg(
+        F.count("*").alias("n_pairs_070"),
+        F.sum(F.when(j >= 0.8, 1).otherwise(0)).cast("long").alias("n_pairs_080"),
+        F.sum(F.when(j >= 0.9, 1).otherwise(0)).cast("long").alias("n_pairs_090"),
+        F.sum(F.when(j >= F.round(F.lit(1.0), 6), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_exact"),
+        F.round(F.min(j), 6).alias("min_jaccard"),
+        F.round(
+            F.sum((j * 1_000_000).cast("long")).cast("double")
+            / 1_000_000.0
+            / F.count("*"),
+            6,
+        ).alias("mean_jaccard"),
+    )
