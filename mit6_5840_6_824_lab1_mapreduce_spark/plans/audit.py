@@ -1,0 +1,72 @@
+"""Physical-plan audit: the `.explain("formatted")` discipline as a
+queryable API. Every operator in this repo was iterated against its
+physical plan (pushdown reached the scan? dimensions broadcast? Python
+only where a codec runs?); this module turns those checks into a
+structured report so CI, notebooks, and the registry hygiene tests
+share ONE definition of "the plan is scale-clean".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class PlanAudit:
+    n_exchanges: int            # shuffle boundaries (Exchange hashpartitioning/range)
+    n_broadcast_joins: int      # BroadcastHashJoin operators
+    n_sortmerge_joins: int      # SortMergeJoin operators
+    n_nested_loop_joins: int    # BroadcastNestedLoopJoin (1-row/bounded builds only)
+    n_python_stages: int        # Arrow/row Python evaluation stages
+    n_wholestage_spans: int     # WholeStageCodegen regions
+    has_cartesian: bool         # CartesianProduct anywhere
+    has_pushed_filters: bool    # at least one non-empty PushedFilters on a scan
+    top_k_only_sorts: bool      # every global sort is a TakeOrderedAndProject
+
+    @property
+    def python_free(self) -> bool:
+        return self.n_python_stages == 0
+
+    def scale_clean(self, python_allowed: bool = False) -> bool:
+        """The registry-wide contract: no cartesian, and Python stages
+        only where the operator is documented to need them."""
+        return not self.has_cartesian and (python_allowed or self.python_free)
+
+
+def plan_audit(df: DataFrame) -> PlanAudit:
+    """Audit the physical plan of a DataFrame. Structural fields
+    (joins, exchanges, Python stages, cartesian) are valid on the
+    unexecuted AQE plan; `n_wholestage_spans` is only populated after
+    an action has run (AQE inserts codegen markers at execution — run
+    `df.collect()` first if you need that field)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sorts = plan.count("Sort [")
+    n_topk = plan.count("TakeOrderedAndProject")
+    # Window operators legitimately sort within partitions; only count
+    # global (non-window, non-join) sorts against top-k discipline.
+    n_smj = plan.count("SortMergeJoin")
+    n_window = plan.count("Window")
+    return PlanAudit(
+        n_exchanges=plan.count("Exchange "),
+        n_broadcast_joins=plan.count("BroadcastHashJoin"),
+        n_sortmerge_joins=n_smj,
+        n_nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
+        n_python_stages=(
+            plan.count("ArrowEvalPython")
+            + plan.count("BatchEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        ),
+        # codegen regions render as "*(n) Operator" in the simple plan
+        # string (the literal "WholeStageCodegen" only appears in the
+        # formatted mode); count distinct region ids
+        n_wholestage_spans=len(
+            {tok.split(")")[0] for tok in plan.split("*(")[1:]}
+        ),
+        has_cartesian="CartesianProduct" in plan,
+        has_pushed_filters="PushedFilters: [" in plan
+        and "PushedFilters: []" != plan[plan.find("PushedFilters: [") : plan.find("PushedFilters: [") + len("PushedFilters: []")],
+        top_k_only_sorts=n_sorts <= n_topk + 2 * n_smj + n_window,
+    )
