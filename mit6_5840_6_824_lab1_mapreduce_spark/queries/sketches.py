@@ -495,7 +495,9 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-source sketches are the bounded per-partition
     states a real cluster would ship to one reducer (k rows per
     source); the merge is a window over n_sources*k rows — constant.
-    The exact count exists only to grade the estimate."""
+    The exact count AND the direct-sketch arm (a window over the full
+    distinct hash set) exist only to grade the merge — a production
+    run ships the per-source sketches and nothing else."""
     hashed = _shingle_set(spark, sf_dir).select(
         "source", "shingle", _h60(F.col("shingle")).alias("h")
     )

@@ -58,13 +58,13 @@ CASES = sorted(REGISTRY)
 
 @pytest.mark.parametrize("name", CASES)
 def test_plan_is_scale_clean(spark, name):
-    df = REGISTRY[name].fn(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import plan_audit
+
+    audit = plan_audit(REGISTRY[name].fn(spark, SF_SMOKE))
+    assert not audit.has_cartesian, f"{name}: cartesian product"
     if name not in BNLJ_ALLOWED:
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
-    has_python = "ArrowEvalPython" in plan or "BatchEvalPython" in plan or "MapInPandas" in plan
+        assert audit.n_nested_loop_joins == 0, f"{name}: nested-loop join"
     if name in PYTHON_REQUIRED:
-        assert has_python, f"{name}: expected an Arrow Python stage"
+        assert audit.n_python_stages > 0, f"{name}: expected an Arrow Python stage"
     else:
-        assert not has_python, f"{name}: unexpected Python stage"
+        assert audit.python_free, f"{name}: unexpected Python stage"
