@@ -8,6 +8,7 @@ share ONE definition of "the plan is scale-clean".
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -49,7 +50,9 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     n_smj = plan.count("SortMergeJoin")
     n_window = plan.count("Window")
     return PlanAudit(
-        n_exchanges=plan.count("Exchange "),
+        # shuffle boundaries only: "BroadcastExchange ..." also
+        # contains the substring "Exchange ", so subtract it out
+        n_exchanges=plan.count("Exchange ") - plan.count("BroadcastExchange "),
         n_broadcast_joins=plan.count("BroadcastHashJoin"),
         n_sortmerge_joins=n_smj,
         n_nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
@@ -66,7 +69,10 @@ def plan_audit(df: DataFrame) -> PlanAudit:
             {tok.split(")")[0] for tok in plan.split("*(")[1:]}
         ),
         has_cartesian="CartesianProduct" in plan,
-        has_pushed_filters="PushedFilters: [" in plan
-        and "PushedFilters: []" != plan[plan.find("PushedFilters: [") : plan.find("PushedFilters: [") + len("PushedFilters: []")],
+        # ANY scan with a non-empty pushed-filter list counts — not
+        # just the first-printed one
+        has_pushed_filters=any(
+            m.group(1).strip() for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+        ),
         top_k_only_sorts=n_sorts <= n_topk + 2 * n_smj + n_window,
     )

@@ -648,7 +648,7 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN j >= round(1.0, 6) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pairs_exact,
            round(min(j), 6) AS min_jaccard,
-           round(CAST(sum(CAST(j * 1000000 AS BIGINT)) AS DOUBLE)
+           round(CAST(sum(CAST(round(j * 1000000, 0) AS BIGINT)) AS DOUBLE)
                  / 1000000.0 / count(*), 6) AS mean_jaccard
     FROM jac
     """,
@@ -673,8 +673,11 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs_exact"),
         F.round(F.min(j), 6).alias("min_jaccard"),
+        # round-then-cast on BOTH engines: a bare cast truncates in
+        # Spark but rounds in DuckDB, and 6-dp doubles like 0.833333
+        # scale to x.999... — the two would drift by 1 ulp per pair
         F.round(
-            F.sum((j * 1_000_000).cast("long")).cast("double")
+            F.sum(F.round(j * 1_000_000, 0).cast("long")).cast("double")
             / 1_000_000.0
             / F.count("*"),
             6,

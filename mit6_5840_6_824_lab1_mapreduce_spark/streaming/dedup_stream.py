@@ -66,12 +66,24 @@ def ingest_batch(
     (estimated Jaccard ≥ 12/16 = 0.75). Exact duplicates always
     match all 16."""
     spark = batch_df.sparkSession
+    # Every ingested doc gets a verdict — including docs too short to
+    # shingle (< 3 tokens), which have no signature row, can never
+    # match anything, and fall out as unique/keep (same contract as
+    # the batch operator's docs.where(is_new) anchor).
+    batch_ids = batch_df.select(F.col("doc_id").alias("id")).distinct().persist()
     sig_new = minhash_signature_df(shingle_pairs_df(batch_df)).persist()
     index = (
         spark.read.parquet(index_path).drop("_part")
         if _table_exists(spark, index_path)
         else _empty_sigs(spark)
     )
+    # CRASH-REPLAY IDEMPOTENCE: a replayed batch's survivors are
+    # already in the index; without this anti-join sig_all would hold
+    # those ids twice and the verify join would double-count their
+    # pairs, writing different verdict values than the first run.
+    # Excluding the batch's own ids from the index side makes the
+    # computation identical whether or not the batch committed before.
+    index = index.join(batch_ids, "id", "left_anti")
     # Probe side: batch bands. Build side: index ∪ batch (within-batch
     # dups are found in the same pass).
     bands_new = lsh_bands_df(sig_new)
@@ -107,7 +119,6 @@ def ingest_batch(
         .where(F.col("n_match") >= min_matches)
         .select("id_a", "id_b")
     )
-    batch_ids = sig_new.select(F.col("id"))
     new_id_set = batch_ids.withColumnsRenamed({"id": "id_b"}).withColumn(
         "_is_batch", F.lit(True)
     )
@@ -155,6 +166,7 @@ def ingest_batch(
         partition_col="_part",
     )
     sig_new.unpersist()
+    batch_ids.unpersist()
     verdicts.unpersist()
 
 

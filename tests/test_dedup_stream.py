@@ -62,10 +62,35 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     index, verd = _drive_manually(spark, tmp_path, "replay")
     before_v = _verdicts(spark, verd)
     before_i = {r.id for r in spark.read.parquet(index).collect()}
-    # crash replay: the LAST batch is re-applied
-    ingest_batch(spark.createDataFrame(BATCHES[-1], SCHEMA), index, verd)
-    assert _verdicts(spark, verd) == before_v
-    assert {r.id for r in spark.read.parquet(index).collect()} == before_i
+    # crash replay: EVERY batch is re-applied, including batch 0 whose
+    # survivors (1, 10) are already in the index — without the
+    # batch-id anti-join on the index side, their duplicated
+    # signatures would double-count pairs and rewrite different
+    # verdict values
+    for rows in BATCHES:
+        ingest_batch(spark.createDataFrame(rows, SCHEMA), index, verd)
+        assert _verdicts(spark, verd) == before_v
+        assert {r.id for r in spark.read.parquet(index).collect()} == before_i
+
+
+def test_short_docs_get_unique_verdicts_like_batch_operator(spark, tmp_path):
+    """Docs with < 3 tokens have no shingles and can never match —
+    they must still get a unique/keep verdict (the batch operator's
+    contract), not silently vanish from the verdict table."""
+    index = str(tmp_path / "idx_short")
+    verd = str(tmp_path / "verd_short")
+    ingest_batch(
+        spark.createDataFrame([(1, A), (7, "hi there"), (8, "x")], SCHEMA),
+        index,
+        verd,
+    )
+    got = _verdicts(spark, verd)
+    assert set(got) == {1, 7, 8}
+    for short_id in (7, 8):
+        assert got[short_id] == (0, 0, None, "unique", True)
+    # shingle-less docs are not indexable (nothing to probe), so the
+    # index holds only the signed survivor
+    assert {r.id for r in spark.read.parquet(index).collect()} == {1}
 
 
 def test_stream_matches_sequential_batches(spark, tmp_path):
