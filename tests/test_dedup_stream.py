@@ -119,3 +119,45 @@ def test_stream_matches_sequential_batches(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(index).collect()} == {
         r.id for r in spark.read.parquet(ref_index).collect()
     }
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the query after the first micro-batch, restart against
+    the same checkpoint with more files present: the restarted query
+    must process only the remaining batches and converge to the same
+    state as an uninterrupted run."""
+    src = tmp_path / "restart_src"
+    src.mkdir()
+
+    def write_batch(i):
+        f = str(src / f"b{i}")
+        spark.createDataFrame(BATCHES[i], SCHEMA).coalesce(1).write.parquet(f)
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (2000 + i, 2000 + i))
+
+    index = str(tmp_path / "idx_restart")
+    verd = str(tmp_path / "verd_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        return stream_dedup_ingest(stream, index, verd, checkpoint_dir=ckpt)
+
+    write_batch(0)
+    q = start()
+    q.awaitTermination(120)  # availableNow: drains batch 0 and stops
+    assert set(_verdicts(spark, verd)) == {1, 2, 10}
+
+    write_batch(1)
+    write_batch(2)
+    q = start()
+    q.awaitTermination(120)
+    ref_index, ref_verd = _drive_manually(spark, tmp_path, "restart_ref")
+    assert _verdicts(spark, verd) == _verdicts(spark, ref_verd)
+    assert {r.id for r in spark.read.parquet(index).collect()} == {
+        r.id for r in spark.read.parquet(ref_index).collect()
+    }
