@@ -28,5 +28,6 @@ from . import scrub  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import bpe  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

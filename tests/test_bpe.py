@@ -1,0 +1,69 @@
+"""BPE merge-learning invariants: hand-computable rule sequences,
+greedy left-to-right overlap semantics (the property the delimited
+substring-replace encoding must preserve), and degenerate inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.bpe import (
+    BOUND,
+    bpe_learn_merges,
+    bpe_segment,
+    word_symseq,
+)
+
+
+def _words(spark, rows):
+    return spark.createDataFrame(rows, "word string, freq long")
+
+
+def test_learns_hand_computed_merges(spark):
+    # freq-weighted pairs: (l,o)=7 from 'low'(5)+'lower'(2); (o,w)=7;
+    # (w,§)=5; (w,e)=2; (e,r)=2+3=5 ... 'newer'(3): (n,e)3 (e,w)3 (w,e)3
+    # → (w,e)=2+3=5. Top pair is a tie (l,o) vs (o,w) at 7 → lex: (l,o).
+    words = _words(spark, [("low", 5), ("lower", 2), ("newer", 3)])
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn_merges(words, 2).orderBy("merge_rank").collect()
+    ]
+    assert got[0] == (1, "l", "o", 7)
+    # After merging 'l o'->'lo', (lo,w)=7 is now the top pair.
+    assert got[1] == (2, "lo", "w", 7)
+
+
+def test_greedy_overlap_is_left_to_right(spark):
+    # 'aaaa': pairs (a,a) x3. Greedy BPE merges left-to-right without
+    # overlap: 'a a a a' -> 'aa aa' — the asymmetric-boundary replace
+    # must not consume the '¦' the second match needs.
+    words = _words(spark, [("aaaa", 1)])
+    merges = bpe_learn_merges(words, 1)
+    seg = bpe_segment(word_symseq(words), merges)
+    sym = seg.select(
+        F.trim(F.replace(F.col("symseq"), F.lit(BOUND), F.lit(" "))).alias("s")
+    ).head()[0]
+    assert sym == "aa aa §"
+
+
+def test_odd_run_leaves_trailing_singleton(spark):
+    # 'aaa' -> 'aa a', the canonical greedy tie case both engines must
+    # resolve identically (non-overlapping left-to-right replace).
+    words = _words(spark, [("aaa", 1)])
+    merges = bpe_learn_merges(words, 1)
+    seg = bpe_segment(word_symseq(words), merges)
+    sym = seg.select(
+        F.trim(F.replace(F.col("symseq"), F.lit(BOUND), F.lit(" "))).alias("s")
+    ).head()[0]
+    assert sym == "aa a §"
+
+
+def test_empty_vocabulary_yields_no_rules(spark):
+    words = _words(spark, []).where(F.lit(False))
+    assert bpe_learn_merges(words, 3).count() == 0
+
+
+def test_single_char_words_merge_with_eow(spark):
+    # Only possible pair is (x, §).
+    words = _words(spark, [("x", 4)])
+    row = bpe_learn_merges(words, 1).head()
+    assert (row.left_sym, row.right_sym, row.pair_count) == ("x", "§", 4)
