@@ -714,3 +714,73 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=r"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+    counts AS (
+      SELECT CAST(1 AS BIGINT) AS step_rank, 'signup' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    )
+    SELECT step_rank, step, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif(first_value(n_users) OVER (ORDER BY step_rank), 0),
+                 6) AS conversion
+    FROM counts
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel: signup -> view -> click -> purchase, each
+    step's earliest event strictly after the user's earliest event of
+    the previous step. The product-analytics workload every event
+    warehouse runs; restated as a chain of per-step (filter ->
+    co-partitioned user_id join -> min) phases.
+
+    Plan shape at scale: every phase keys on user_id, so the chain is
+    ONE shuffle key end-to-end (each step's survivor table is a
+    strict subset — the join probe side shrinks monotonically);
+    per-step counts are 1-row aggregates and the conversion window
+    runs over 4 rows. The event_type filters reach the scan
+    (PushedFilters), so each phase reads only its step's rows."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ["signup", "view", "click", "purchase"]
+    prev: DataFrame | None = None
+    counts: DataFrame | None = None
+    for rank, step in enumerate(steps, start=1):
+        cur = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("prev_t")), "user_id"
+            ).where(F.col("ts") > F.col("prev_t"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        row = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(rank).cast("long").alias("step_rank"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+        prev = cur
+    w = Window.orderBy("step_rank")
+    return counts.withColumn(
+        "conversion",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(F.first("n_users").over(w), F.lit(0)),
+            6,
+        ),
+    )

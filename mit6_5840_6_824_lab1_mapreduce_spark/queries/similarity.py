@@ -8,7 +8,7 @@ constant embedded in both the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
@@ -470,4 +470,49 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_norm_sq"),
         F.round(F.sqrt(F.min("n2").cast("double")) / F.lit(1e6), 6).alias("min_norm"),
         F.round(F.sqrt(F.max("n2").cast("double")) / F.lit(1e6), 6).alias("max_norm"),
+    )
+
+
+_CSAMPLE_K = 5
+
+
+@query(
+    "embedding_cluster_sample",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    {_IVF_SQL}
+    SELECT cid, vec_id, rk AS pick_rank FROM (
+      SELECT cid, vec_id,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5('csample:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM a1
+    ) WHERE rk <= {_CSAMPLE_K}
+    """,
+)
+def embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: up to K vectors per IVF cluster,
+    chosen by deterministic md5 hash order — the diversity-preserving
+    draw used to build eval slices and distillation subsets from an
+    embedded corpus (uniform sampling over-represents dense clusters;
+    per-cluster quotas cover the embedding space's tail modes).
+
+    Plan shape: nearest-centroid assign is a broadcast of the k-row
+    centroid table (map-side only), then ONE shuffle by cid with a
+    per-partition top-K heap (WindowGroupLimit caps rows before the
+    sort materializes) — never a global sort, and the sample size is
+    k x K regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.embeddings_quantized(emb)
+    c1 = S.ivf_refined_centroids(v, n_seeds=8)
+    a = S.ivf_assign(v, c1)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.concat(F.lit("csample:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    return (
+        a.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= _CSAMPLE_K)
+        .select("cid", "vec_id", "pick_rank")
     )

@@ -814,3 +814,71 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novelty > 0.3).alias("too_novel"),
         )
     )
+
+
+@query(
+    "corpus_ngram_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(1 AS BIGINT) AS gram_n, unnest(ts) AS gram FROM toks
+      UNION ALL
+      SELECT source, CAST(2 AS BIGINT), unnest(CASE WHEN len(ts) >= 2
+        THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        ELSE CAST([] AS VARCHAR[]) END)
+      FROM toks
+      UNION ALL
+      SELECT source, CAST(3 AS BIGINT), unnest(CASE WHEN len(ts) >= 3
+        THEN list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        ELSE CAST([] AS VARCHAR[]) END)
+      FROM toks
+    ),
+    per AS (SELECT gram_n, source, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+    SELECT source, gram_n,
+           CAST(sum(cnt) AS BIGINT) AS total_grams,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS diversity
+    FROM per GROUP BY 1, 2
+    """,
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (the self-BLEU stand-in production data
+    teams actually compute): per source and n in {1,2,3}, the ratio
+    of distinct n-grams to total n-gram instances. Low diversity
+    flags template-generated or crawler-looped sources BEFORE they
+    skew a training mixture; the same ratio over model samples is the
+    standard memorization/diversity report.
+
+    Plan shape: one corpus tokenize feeds all three explode branches
+    (union of narrow map-side projections — the corpus is still read
+    once per branch at worst, never shuffled raw); the distinct is a
+    two-level aggregate keyed (gram_n, source, gram) with map-side
+    combine, then (source, gram_n) — shuffle volume tracks DISTINCT
+    grams, not corpus tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0).alias("ts"),
+    )
+    parts = []
+    for n in (1, 2, 3):
+        g = F.col("ts") if n == 1 else D.gram_windows(F.col("ts"), n)
+        parts.append(
+            toks.select(
+                "source",
+                F.lit(n).cast("long").alias("gram_n"),
+                F.explode(g).alias("gram"),
+            )
+        )
+    grams = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = grams.groupBy("gram_n", "source", "gram").agg(F.count("*").alias("cnt"))
+    return per.groupBy("source", "gram_n").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.round(F.count("*").cast("double") / F.sum("cnt"), 6).alias("diversity"),
+    )
