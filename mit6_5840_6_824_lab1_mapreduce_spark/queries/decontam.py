@@ -185,3 +185,122 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_holdout_hits"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+BLOOM_M = 4096  # bits in the relational bitmap
+BLOOM_K = 3  # hash functions
+
+
+@query(
+    "decontam_bloom_prefilter",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    bg AS (SELECT DISTINCT shingle FROM sh WHERE id % {HOLDOUT_MOD} = 0),
+    cg AS (SELECT DISTINCT shingle FROM sh WHERE id % {HOLDOUT_MOD} <> 0),
+    bp AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bloom' || j || ':' || shingle), 1, 8))
+                  AS UBIGINT) % {BLOOM_M} AS pos
+      FROM bg, UNNEST([0, 1, 2]) AS t(j)
+    ),
+    cp AS (
+      SELECT shingle, j,
+             CAST(('0x' || substr(md5('bloom' || j || ':' || shingle), 1, 8))
+                  AS UBIGINT) % {BLOOM_M} AS pos
+      FROM cg, UNNEST([0, 1, 2]) AS t(j)
+    ),
+    pass AS (
+      SELECT shingle FROM cp JOIN bp USING (pos)
+      GROUP BY shingle HAVING count(DISTINCT j) = {BLOOM_K}
+    ),
+    flags AS (
+      SELECT cg.shingle,
+             CASE WHEN p.shingle IS NULL THEN 0 ELSE 1 END AS passed,
+             CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END AS member
+      FROM cg
+      LEFT JOIN pass p ON cg.shingle = p.shingle
+      LEFT JOIN bg b ON cg.shingle = b.shingle
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus_grams,
+           CAST(sum(passed) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(member) AS BIGINT) AS n_true_member,
+           CAST(sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           round(CAST(sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(count(*) - sum(member), 0), 6) AS fp_rate
+    FROM flags
+    """,
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — THE pattern that makes
+    decontamination affordable at 100 TB. Instead of shuffling every
+    corpus gram into an equi-join against the benchmark gram set,
+    build an m-bit Bloom filter over the (small) benchmark grams,
+    broadcast it, and discard non-matching corpus grams MAP-SIDE;
+    only the tiny surviving candidate set pays the exact verify join.
+    This query certifies the filter: it runs the bloom pass AND the
+    exact membership join over the same grams and reports the
+    false-positive rate the m/k choice buys (one-sided error — every
+    true member passes, by construction).
+
+    Relational bitmap: the filter is the DISTINCT set of k=3
+    md5-derived bit positions (<= m = 4096 rows — broadcastable at
+    any corpus scale); a gram passes iff all 3 of its positions join.
+    Deterministic md5 hashing means DuckDB re-derives the identical
+    filter, so even the false positives hash-compare exactly."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_pairs_df(docs).persist()
+    bg = sh.where(F.col("id") % HOLDOUT_MOD == 0).select("shingle").distinct()
+    cg = sh.where(F.col("id") % HOLDOUT_MOD != 0).select("shingle").distinct()
+
+    def pos(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}:"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        ).alias("pos")
+
+    bp = None
+    cp = None
+    for j in range(BLOOM_K):
+        b_j = bg.select(pos(j))
+        c_j = cg.select("shingle", F.lit(j).alias("hj"), pos(j))
+        bp = b_j if bp is None else bp.unionByName(b_j)
+        cp = c_j if cp is None else cp.unionByName(c_j)
+    bp = bp.distinct()
+    passed = (
+        cp.join(F.broadcast(bp), "pos")
+        .groupBy("shingle")
+        .agg(F.count_distinct("hj").alias("nh"))
+        .where(F.col("nh") == BLOOM_K)
+        .select("shingle", F.lit(1).alias("passed"))
+    )
+    member = bg.select("shingle", F.lit(1).alias("member"))
+    flags = (
+        cg.join(passed, "shingle", "left")
+        .join(member, "shingle", "left")
+        .select(
+            F.coalesce("passed", F.lit(0)).alias("passed"),
+            F.coalesce("member", F.lit(0)).alias("member"),
+        )
+    )
+    fp = F.sum(
+        F.when((F.col("passed") == 1) & (F.col("member") == 0), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_corpus_grams"),
+        F.sum("passed").cast("long").alias("n_pass_bloom"),
+        F.sum("member").cast("long").alias("n_true_member"),
+        fp.cast("long").alias("n_false_positive"),
+        F.round(
+            fp.cast("double")
+            / F.nullif(F.count(F.lit(1)) - F.sum("member"), F.lit(0)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -683,3 +683,58 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_jaccard"),
     )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_CC_SQL},
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT doc_id, component,
+           CASE WHEN substr(md5('lsplit:' || CAST(component AS VARCHAR)), 1, 1)
+                     IN ('0','1') THEN 'holdout'
+                ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: the split hash is keyed on
+    the NEAR-DUP CLUSTER representative, not the document — so a
+    near-duplicate pair can never straddle train and holdout. A plain
+    per-doc hash split (corpus_split_assign) leaks: two near-copies
+    land on opposite sides and the holdout scores memorization. This
+    is the split assignment an LLM eval pipeline must use after fuzzy
+    dedup clustering.
+
+    Plan shape: the MinHash+LSH pair graph and min-label connected
+    components are the existing bucketed dedup path (never all-pairs,
+    lineage-truncated CC loop); the split itself is a map-side hash
+    of the component id — singleton docs hash their own id, cluster
+    members inherit their representative's draw."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    verts = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(verts, pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lsplit:"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1"),
+            "holdout",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )

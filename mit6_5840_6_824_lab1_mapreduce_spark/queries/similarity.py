@@ -516,3 +516,53 @@ def embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick_rank") <= _CSAMPLE_K)
         .select("cid", "vec_id", "pick_rank")
     )
+
+
+@query(
+    "corpus_semantic_mixture",
+    oracle=rf"""
+    WITH {_QUANT_SQL},
+    {_IVF_SQL}
+    SELECT a1.cid, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(d.text, '[\p{{L}}]+'))) AS BIGINT)
+             AS total_words
+    FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def corpus_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster x source mixture audit — the cross-modal join
+    the relational and embedding halves of the engine meet on: every
+    document joins its embedding's IVF cluster (vec_id = doc_id), and
+    the (cluster, source) matrix shows which sources dominate which
+    regions of embedding space. This is how a data team spots that
+    one crawler source collapsed into a single semantic mode before
+    the mixture weights are set.
+
+    Plan shape: centroid assignment is the broadcast IVF path; the
+    doc-embedding join is an equi-join on an integer key (both sides
+    shuffle-partition on it — at scale, write both tables bucketed by
+    id and the join is shuffle-free); the mixture matrix is a bounded
+    (k x sources) aggregate."""
+    from ..plans import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = S.embeddings_quantized(emb)
+    c1 = S.ivf_refined_centroids(v, n_seeds=8)
+    a = S.ivf_assign(v, c1)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return (
+        a.join(d, a.vec_id == d.doc_id)
+        .groupBy("cid", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "similarity_ann_multiprobe",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
+    "embedding_cluster_sample",  # same k-row centroid broadcast as ivf_assign
+    "corpus_semantic_mixture",  # same k-row centroid broadcast as ivf_assign
     "dedup_embedding_cosine",
     "inactive_rich_customers",
     "text_tfidf_top_terms",
