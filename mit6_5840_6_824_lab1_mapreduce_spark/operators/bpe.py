@@ -71,9 +71,14 @@ def adjacent_pair_counts(seq: DataFrame, freq_col: str = "freq") -> DataFrame:
     sum word frequencies per (left, right) pair. One vocabulary-sized
     explode + one shuffle keyed by the pair (map-side partial sums)."""
     syms = F.filter(F.split("symseq", BOUND), lambda t: t != F.lit(""))
+    # Guard size >= 2: Spark's sequence(1, 0) yields DESCENDING [1, 0]
+    # (not empty like DuckDB's generate_series), so a fully-merged
+    # single-symbol word would index element_at(syms, 0) and throw.
     pairs = F.expr(
-        "transform(sequence(1, size(syms) - 1),"
-        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        "  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+        " ELSE array() END"
     )
     return (
         seq.select(F.col(freq_col).alias("freq"), syms.alias("syms"))

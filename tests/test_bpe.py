@@ -67,3 +67,67 @@ def test_single_char_words_merge_with_eow(spark):
     words = _words(spark, [("x", 4)])
     row = bpe_learn_merges(words, 1).head()
     assert (row.left_sym, row.right_sym, row.pair_count) == ("x", "§", 4)
+
+
+# ---- property: Spark recurrence == pure-Python textbook BPE ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abc", min_size=1, max_size=6)
+_vocab = st.dictionaries(_word, st.integers(min_value=1, max_value=9),
+                         min_size=1, max_size=8)
+
+
+def _ref_bpe(freqs: dict[str, int], n_merges: int):
+    """Textbook greedy BPE in plain Python: count-desc then
+    (left, right)-asc tie-break, greedy left-to-right merge."""
+    seqs = {w: [*w, "§"] for w in freqs}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        top = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == top)
+        rules.append((rank, pair[0], pair[1], top))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return rules, seqs
+
+
+@settings(max_examples=5, deadline=None)
+@given(_vocab)
+def test_matches_pure_python_reference(spark, vocab):
+    words = _words(spark, list(vocab.items()))
+    n = 3
+    exp_rules, exp_seqs = _ref_bpe(vocab, n)
+    got_rules = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn_merges(words, n).orderBy("merge_rank").collect()
+    ]
+    assert got_rules == exp_rules[: len(got_rules)]
+    # Segmentation of every word must match the Python fold too.
+    merges = bpe_learn_merges(words, n)
+    seg = bpe_segment(word_symseq(words), merges)
+    got_seg = {
+        r.word: r.s
+        for r in seg.select(
+            "word",
+            F.trim(F.replace(F.col("symseq"), F.lit(BOUND), F.lit(" "))).alias("s"),
+        ).collect()
+    }
+    exp_seg = {w: " ".join(s) for w, s in exp_seqs.items()}
+    assert got_seg == exp_seg
