@@ -72,6 +72,9 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_sample_temperature",
     "dedup_passage_blocks",
+    "tokenizer_bpe_merges",
+    "decontam_bloom_prefilter",
+    "corpus_leakage_safe_split",
 ]
 
 
