@@ -163,3 +163,75 @@ def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segmented"
         ),
     )
+
+
+@query(
+    "corpus_bpe_token_counts",
+    oracle=(
+        _BPE_CTES
+        + f""",
+    segn AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(symseq, '{BOUND}'),
+                                  x -> x <> '')) - 1 AS BIGINT) AS n_sub
+      FROM seq{_N_MERGES}
+    ),
+    dw AS (
+      SELECT doc_id, lower(t) AS word
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS t
+            FROM documents)
+      WHERE regexp_matches(t, '^[A-Za-z]+$')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+    FROM dw JOIN segn USING (word)
+    GROUP BY doc_id
+    """
+    ),
+)
+def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer corpus-wide: per document, the word
+    count, the subword count under the learned merge table, and the
+    fertility (subwords per word) — THE metric a tokenizer is judged
+    by before a training run commits to it. Subword count per word =
+    symbols after all merges, excluding the end-of-word marker.
+
+    Plan shape at scale: segmentation lives on the VOCABULARY table
+    (sub-linear), so the corpus-side cost is one tokenize pass plus an
+    equi-join on the word key (vocab side fits broadcast for natural
+    corpora; falls back to a co-partitioned shuffle join above the
+    broadcast threshold — both sides hash evenly on word). The per-doc
+    aggregate rides the doc_id shuffle."""
+    words = _ascii_words(spark, sf_dir)
+    merges = bpe_learn_merges(words, _N_MERGES)
+    seg = bpe_segment(word_symseq(words), merges)
+    segn = seg.select(
+        "word",
+        (
+            F.size(F.filter(F.split("symseq", BOUND), lambda t: t != F.lit("")))
+            - 1
+        )
+        .cast("long")
+        .alias("n_sub"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id", F.explode(letter_tokens(F.col("text"))).alias("t")
+        )
+        .where(F.col("t").rlike("^[A-Za-z]+$"))
+        .select("doc_id", F.lower("t").alias("word"))
+    )
+    return (
+        dw.join(segn, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count("*"), 6
+            ).alias("fertility"),
+        )
+    )

@@ -544,3 +544,114 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_estimate"),
         )
     )
+
+
+_JK_K = 64
+
+
+@query(
+    "sketch_join_estimate",
+    oracle=rf"""
+    WITH ah AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('jk:' || CAST(o_orderkey AS VARCHAR)),
+                                          1, 15) AS BIGINT) AS h
+      FROM orders
+    ),
+    bh AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('jk:' || CAST(l_orderkey AS VARCHAR)),
+                                          1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    ak AS (SELECT h FROM ah ORDER BY h LIMIT {_JK_K}),
+    bk AS (SELECT h FROM bh ORDER BY h LIMIT {_JK_K}),
+    mk AS (SELECT DISTINCT h
+           FROM (SELECT h FROM ak UNION ALL SELECT h FROM bk)
+           ORDER BY h LIMIT {_JK_K}),
+    mstat AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS m FROM mk),
+    istat AS (
+      SELECT CAST(count(*) AS BIGINT) AS c FROM mk
+      WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)
+    ),
+    tstat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true
+      FROM (SELECT DISTINCT o_orderkey AS k1 FROM orders) a
+      JOIN (SELECT DISTINCT l_orderkey FROM lineitem) b ON a.k1 = b.l_orderkey
+    )
+    SELECT CAST({_JK_K} AS BIGINT) AS kmv_k,
+           kth_hash, m AS m_merged, c AS n_both, n_true,
+           round(CASE WHEN m < {_JK_K} THEN CAST(m AS DOUBLE)
+                      ELSE {_JK_K - 1}.0 * {float(_H60_MAX)!r}
+                           / CAST(kth_hash AS DOUBLE) END, 4) AS union_est,
+           round(CAST(c AS DOUBLE) / m, 6) AS jaccard_est,
+           round((CAST(c AS DOUBLE) / m)
+                 * (CASE WHEN m < {_JK_K} THEN CAST(m AS DOUBLE)
+                         ELSE {_JK_K - 1}.0 * {float(_H60_MAX)!r}
+                              / CAST(kth_hash AS DOUBLE) END), 4) AS inter_est
+    FROM mstat, istat, tstat
+    """,
+)
+def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV sketches — what a
+    cost-based optimizer does before picking a join strategy, run as
+    a query so the estimator itself is hash-checked. Sketch each
+    side's distinct key set (k minimum hash values), merge the
+    sketches (k smallest of the union), estimate |A∪B| from the k-th
+    merged hash and Jaccard from the fraction of merged values seen
+    in BOTH sketches; the intersection estimate J·U is the predicted
+    join key overlap, emitted next to the exact value.
+
+    Scale shape: each sketch is a distributed top-k
+    (TakeOrderedAndProject — per-partition heads, never a full sort);
+    everything after the two k-row sketches is constant-size. The
+    exact intersection is computed here only to grade the estimate —
+    a production optimizer keeps the sketch-only cost, which is one
+    scan per side."""
+    k = _JK_K
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(_h60(F.concat(F.lit("jk:"), F.col("key"))).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ak = sketch(o).localCheckpoint()
+    bk = sketch(li).localCheckpoint()
+    mk = ak.unionByName(bk).distinct().orderBy("h").limit(k).localCheckpoint()
+    mstat = mk.agg(
+        F.max("h").alias("kth_hash"), F.count("*").alias("m_merged")
+    )
+    nboth = (
+        mk.join(ak, "h", "left_semi")
+        .join(bk, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    tru = (
+        o.distinct()
+        .join(li.distinct(), "key", "left_semi")
+        .agg(F.count("*").alias("n_true"))
+    )
+    row = mstat.crossJoin(F.broadcast(nboth)).crossJoin(F.broadcast(tru))
+    u_est = F.when(
+        F.col("m_merged") < k, F.col("m_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_H60_MAX)) / F.col("kth_hash").cast("double")
+    )
+    j_est = F.col("n_both").cast("double") / F.col("m_merged")
+    return row.select(
+        F.lit(k).cast("long").alias("kmv_k"),
+        "kth_hash",
+        "m_merged",
+        "n_both",
+        "n_true",
+        F.round(u_est, 4).alias("union_est"),
+        F.round(j_est, 6).alias("jaccard_est"),
+        F.round(j_est * u_est, 4).alias("inter_est"),
+    )

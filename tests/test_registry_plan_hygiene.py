@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_parts",  # global-value total: 1-row broadcast
     "orders_market_basket",  # order-count scalar: 1-row broadcast
     "sketch_kmv_merge",  # merged/direct k-th hash: two 1-row broadcasts
+    "sketch_join_estimate",  # three scalar stats: 1-row broadcasts
 }
 
 CASES = sorted(REGISTRY)
