@@ -655,3 +655,112 @@ def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(j_est, 6).alias("jaccard_est"),
         F.round(j_est * u_est, 4).alias("inter_est"),
     )
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=r"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    hist AS (SELECT length(bin(cents)) - 1 AS bucket,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM c GROUP BY 1),
+    h2 AS (SELECT bucket, cnt,
+                  sum(cnt) OVER (ORDER BY bucket) AS cum,
+                  sum(cnt) OVER (ORDER BY bucket) - cnt AS cum_prev
+           FROM hist),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    ex AS (SELECT quantile_cont(cents, 0.5) AS e50,
+                  quantile_cont(cents, 0.9) AS e90,
+                  quantile_cont(cents, 0.99) AS e99
+           FROM c),
+    t(qname, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                  ('p99', 99, 100)),
+    sel AS (
+      SELECT t.qname,
+             (t.num * tot.n + t.den - 1) // t.den AS k,
+             h2.bucket, h2.cnt, h2.cum_prev
+      FROM t, tot, h2
+      WHERE h2.cum >= (t.num * tot.n + t.den - 1) // t.den
+        AND h2.cum_prev < (t.num * tot.n + t.den - 1) // t.den
+    )
+    SELECT s.qname,
+           CAST(s.k AS BIGINT) AS k_rank,
+           CAST(s.bucket AS BIGINT) AS bucket,
+           round(((CAST(1 AS BIGINT) << s.bucket)
+                  + ((CAST(1 AS BIGINT) << (s.bucket + 1)) - 1
+                     - (CAST(1 AS BIGINT) << s.bucket))
+                    * (s.k - s.cum_prev - 1)
+                    / greatest(s.cnt - 1, 1)) / 100.0, 4) AS est_price,
+           round((CASE s.qname WHEN 'p50' THEN ex.e50
+                               WHEN 'p90' THEN ex.e90
+                               ELSE ex.e99 END) / 100.0, 4) AS exact_price
+    FROM sel s, ex
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation — the map-side-combinable
+    alternative to exact percentiles at 100 TB. Values compress to a
+    ~50-row power-of-two histogram (integer-exact buckets via bit
+    width — no libm log2); p50/p90/p99 are then estimated by linear
+    interpolation inside the bucket the target rank lands in. The
+    exact continuous percentile is computed alongside purely to grade
+    the estimate (a production run keeps only the histogram cost:
+    one aggregate, no full-group shuffle or sort).
+
+    Target ranks use ceil(q*n) in pure integer arithmetic
+    ((num*n + den - 1) div den), so bucket selection is
+    engine-reproducible; the only floats are the two final rounded
+    divisions, identical IEEE expressions on both engines."""
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    hist = (
+        o.select((F.length(F.bin("cents")) - 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    h2 = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    tot = o.agg(F.count("*").alias("n"))
+    ex = o.agg(
+        F.percentile("cents", F.lit(0.5)).alias("e50"),
+        F.percentile("cents", F.lit(0.9)).alias("e90"),
+        F.percentile("cents", F.lit(0.99)).alias("e99"),
+    )
+    targets = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "qname string, num long, den long",
+    )
+    k = F.expr("(num * n + den - 1) div den")
+    sel = (
+        targets.crossJoin(F.broadcast(tot))
+        .withColumn("k", k)
+        .crossJoin(F.broadcast(h2))
+        .where((F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+    )
+    lo = F.expr("shiftleft(1L, CAST(bucket AS INT))")
+    hi = F.expr("shiftleft(1L, CAST(bucket AS INT) + 1) - 1L")
+    est = (lo + (hi - lo) * (F.col("k") - F.col("cum_prev") - 1)
+           / F.greatest(F.col("cnt") - 1, F.lit(1))) / F.lit(100.0)
+    exact = (
+        F.when(F.col("qname") == "p50", F.col("e50"))
+        .when(F.col("qname") == "p90", F.col("e90"))
+        .otherwise(F.col("e99"))
+    ) / F.lit(100.0)
+    return (
+        sel.crossJoin(F.broadcast(ex))
+        .select(
+            "qname",
+            F.col("k").cast("long").alias("k_rank"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(est, 4).alias("est_price"),
+            F.round(exact, 4).alias("exact_price"),
+        )
+    )

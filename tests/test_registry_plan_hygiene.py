@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "orders_market_basket",  # order-count scalar: 1-row broadcast
     "sketch_kmv_merge",  # merged/direct k-th hash: two 1-row broadcasts
     "sketch_join_estimate",  # three scalar stats: 1-row broadcasts
+    "sketch_histogram_quantiles",  # ~50-row histogram + 1-row stats broadcasts
 }
 
 CASES = sorted(REGISTRY)
