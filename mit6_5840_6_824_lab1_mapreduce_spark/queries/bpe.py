@@ -134,8 +134,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
         + ",".join(
             f"""
-    tseq{i} AS (SELECT word, freq,
-                       {_MERGE_REPLACE.replace("symseq", "symseq", 1)} AS symseq
+    tseq{i} AS (SELECT word, freq, {_MERGE_REPLACE} AS symseq
                 FROM tseq{i - 1}, best{i})"""
             for i in range(1, _N_MERGES + 1)
         )
