@@ -120,13 +120,20 @@ def main() -> None:
         h = df.select(F.xxhash64(*df.columns).alias("_h"))
         return h.agg(F.bit_xor("_h")).collect()[0][0]
 
+    import gc
+
     def _time_queries(names) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             # Cache hygiene: queries persist() small intermediates
             # internally; clear between queries so no timing borrows a
             # predecessor's cache (numbers must be ordering-stable).
+            # gc.collect() additionally releases localCheckpoint RDDs
+            # (held until their Python DataFrame is collected), so
+            # late-running queries don't pay for dozens of earlier
+            # queries' accumulated checkpoint blocks.
             spark.catalog.clearCache()
+            gc.collect()
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))

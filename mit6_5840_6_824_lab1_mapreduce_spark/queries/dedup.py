@@ -738,3 +738,61 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
+                AS BIGINT) AS prefix_dist,
+           round(1.0 - levenshtein(substr(da.text, 1, 64),
+                                   substr(db.text, 1, 64)) / 64.0, 6)
+             AS prefix_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification — the dedup modality Jaccard and
+    MinHash both miss: small in-place edits (timestamps, counters,
+    injected bylines) keep Levenshtein low while reordering-based
+    measures stay blind. Candidates come from the same LSH banding as
+    the MinHash path (never all-pairs); each pair pays one
+    dynamic-programming distance over the 64-char prefixes — the
+    standard cost bound, since full-text Levenshtein is quadratic in
+    document length and prefix agreement is the signal a near-dup
+    audit ranks by.
+
+    Scale shape: candidate generation is the bucketed band equi-join;
+    the text join-back prunes to candidate ids only (two broadcast-
+    sized id joins at bench scale, co-partitioned joins at 100 TB);
+    distance cost is candidates x 64^2 — tracks the near-dup rate,
+    not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(
+        D.lsh_bands_df(D.minhash_signature_df(D.shingle_pairs_df(docs)))
+    )
+    prefix = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    pa = prefix.withColumnsRenamed({"doc_id": "id_a", "p": "p_a"})
+    pb = prefix.withColumnsRenamed({"doc_id": "id_b", "p": "p_b"})
+    dist = F.levenshtein("p_a", "p_b")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("prefix_dist"),
+            F.round(F.lit(1.0) - dist / F.lit(64.0), 6).alias("prefix_sim"),
+        )
+    )
