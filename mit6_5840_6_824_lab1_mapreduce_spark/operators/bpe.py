@@ -101,9 +101,18 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     both the sequence table and the 1-row winner are lineage-truncated
     per round (localCheckpoint — the tables are vocabulary-sized and
     1-row respectively), so plan depth stays constant across rounds.
+    Driver traffic per round is one empty/non-empty probe of the
+    already-materialized 1-row winner (the CC loop's scalar-only
+    contract), used to stop when merge candidates run dry.
     """
+    empty = words.limit(0).select(
+        F.lit(0).cast("long").alias("merge_rank"),
+        F.lit("").alias("left_sym"),
+        F.lit("").alias("right_sym"),
+        F.lit(0).cast("long").alias("pair_count"),
+    )
     seq = word_symseq(words).localCheckpoint()
-    merges: list[DataFrame] = []
+    merges: list[DataFrame] = [empty]
     for rank in range(1, n_merges + 1):
         best = (
             adjacent_pair_counts(seq)
@@ -111,6 +120,11 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
+        # Candidates can run dry before n_merges (every word fully
+        # merged): stop cleanly with the rules learned so far rather
+        # than threading empty 1-row joins through later rounds.
+        if not best.head(1):
+            break
         merges.append(
             best.select(
                 F.lit(rank).cast("long").alias("merge_rank"),

@@ -46,10 +46,15 @@ _WORDS_SQL = rf"""
 # '¦a·¦b·' -> '¦ab·': consumes the pair's inner and trailing '·' but
 # keeps the trailing '¦' (= the next match's leading '¦'), so one
 # non-overlapping replace pass IS textbook greedy left-to-right BPE.
+# The LEFT JOIN ON TRUE + CASE keeps the sequence table intact when a
+# round's best{i} is EMPTY (merge candidates ran dry): a bare comma
+# cross join would wipe every row and desync from the Spark loop,
+# which stops cleanly at the last non-empty round.
 _MERGE_REPLACE = (
-    "replace(symseq,"
+    "CASE WHEN left_sym IS NULL THEN symseq ELSE"
+    " replace(symseq,"
     " '¦' || left_sym || '{b}' || right_sym || '·',"
-    " '¦' || left_sym || right_sym || '·')"
+    " '¦' || left_sym || right_sym || '·') END"
 ).format(b=BOUND)
 
 
@@ -73,7 +78,7 @@ def _iteration_sql(i: int) -> str:
     best{i} AS (SELECT left_sym, right_sym, pair_count FROM pc{i}
                 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
     seq{i} AS (SELECT word, freq, {_MERGE_REPLACE} AS symseq
-               FROM seq{i - 1}, best{i})
+               FROM seq{i - 1} LEFT JOIN best{i} ON TRUE)
 """
 
 
@@ -135,7 +140,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ",".join(
             f"""
     tseq{i} AS (SELECT word, freq, {_MERGE_REPLACE} AS symseq
-                FROM tseq{i - 1}, best{i})"""
+                FROM tseq{i - 1} LEFT JOIN best{i} ON TRUE)"""
             for i in range(1, _N_MERGES + 1)
         )
         + f"""
@@ -171,9 +176,13 @@ def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f""",
     segn AS (
       SELECT word,
-             CAST(len(list_filter(string_split(symseq, '{BOUND}'),
-                                  x -> x <> '')) - 1 AS BIGINT) AS n_sub
-      FROM seq{_N_MERGES}
+             CAST(len(syms)
+                  - CASE WHEN syms[len(syms)] = '{EOW}' THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_sub
+      FROM (SELECT word,
+                   list_filter(string_split(symseq, '{BOUND}'),
+                               x -> x <> '') AS syms
+            FROM seq{_N_MERGES})
     ),
     dw AS (
       SELECT doc_id, lower(t) AS word
@@ -195,7 +204,9 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the subword count under the learned merge table, and the
     fertility (subwords per word) — THE metric a tokenizer is judged
     by before a training run commits to it. Subword count per word =
-    symbols after all merges, excluding the end-of-word marker.
+    symbols after all merges; a STANDALONE end-of-word marker doesn't
+    count, but one merged into its final subword ('a§') rides along —
+    so every word contributes >= 1 subword even when fully merged.
 
     Plan shape at scale: segmentation lives on the VOCABULARY table
     (sub-linear), so the corpus-side cost is one tokenize pass plus an
@@ -206,11 +217,12 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _ascii_words(spark, sf_dir)
     merges = bpe_learn_merges(words, _N_MERGES)
     seg = bpe_segment(word_symseq(words), merges)
+    syms = F.filter(F.split("symseq", BOUND), lambda t: t != F.lit(""))
     segn = seg.select(
         "word",
         (
-            F.size(F.filter(F.split("symseq", BOUND), lambda t: t != F.lit("")))
-            - 1
+            F.size(syms)
+            - F.when(F.element_at(syms, -1) == EOW, 1).otherwise(0)
         )
         .cast("long")
         .alias("n_sub"),

@@ -189,6 +189,7 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOOM_M = 4096  # bits in the relational bitmap
 BLOOM_K = 3  # hash functions
+_BLOOM_JS = ", ".join(str(j) for j in range(BLOOM_K))  # oracle UNNEST list
 
 
 @query(
@@ -201,13 +202,13 @@ BLOOM_K = 3  # hash functions
       SELECT DISTINCT
              CAST(('0x' || substr(md5('bloom' || j || ':' || shingle), 1, 8))
                   AS UBIGINT) % {BLOOM_M} AS pos
-      FROM bg, UNNEST([0, 1, 2]) AS t(j)
+      FROM bg, UNNEST([{_BLOOM_JS}]) AS t(j)
     ),
     cp AS (
       SELECT shingle, j,
              CAST(('0x' || substr(md5('bloom' || j || ':' || shingle), 1, 8))
                   AS UBIGINT) % {BLOOM_M} AS pos
-      FROM cg, UNNEST([0, 1, 2]) AS t(j)
+      FROM cg, UNNEST([{_BLOOM_JS}]) AS t(j)
     ),
     pass AS (
       SELECT shingle FROM cp JOIN bp USING (pos)

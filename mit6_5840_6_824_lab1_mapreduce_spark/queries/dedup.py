@@ -355,6 +355,20 @@ _CC_SQL = r"""
 """
 
 
+def _minhash_components(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Shared cluster derivation for the three component consumers
+    (components / keep / leakage-safe split): documents -> MinHash+LSH
+    pair graph at threshold 0.8 -> min-label connected components.
+    One definition so the dedup threshold and CC entry point can
+    never drift between the queries that must agree on clusters."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    verts = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(verts, pairs)
+
+
 @query(
     "dedup_minhash_components",
     oracle=rf"""
@@ -372,12 +386,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component. Iterative DataFrame loop, ≤ diameter rounds, each a
     hash join + aggregate; the oracle is a recursive-CTE transitive
     closure over the identical pair graph."""
-    from ..operators.graph import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    verts = docs.select(F.col("doc_id").alias("id"))
-    cc = connected_components(verts, pairs)
+    cc = _minhash_components(spark, sf_dir)
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -403,12 +412,7 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes the training corpus: one aggregate over the CC output, then
     (in production) a semi-join of `documents` against these keeper
     ids."""
-    from ..operators.graph import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    verts = docs.select(F.col("doc_id").alias("id"))
-    cc = connected_components(verts, pairs)
+    cc = _minhash_components(spark, sf_dir)
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("cluster_size"))
@@ -714,12 +718,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage-truncated CC loop); the split itself is a map-side hash
     of the component id — singleton docs hash their own id, cluster
     members inherit their representative's draw."""
-    from ..operators.graph import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    verts = docs.select(F.col("doc_id").alias("id"))
-    cc = connected_components(verts, pairs)
+    cc = _minhash_components(spark, sf_dir)
     return cc.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -750,16 +749,18 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    ascii_p AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS p
+      FROM documents
     )
     SELECT c.id_a, c.id_b,
-           CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
-                AS BIGINT) AS prefix_dist,
-           round(1.0 - levenshtein(substr(da.text, 1, 64),
-                                   substr(db.text, 1, 64)) / 64.0, 6)
-             AS prefix_sim
+           CAST(levenshtein(da.p, db.p) AS BIGINT) AS prefix_dist,
+           round(1.0 - levenshtein(da.p, db.p) / 64.0, 6) AS prefix_sim
     FROM cand c
-    JOIN documents da ON da.doc_id = c.id_a
-    JOIN documents db ON db.doc_id = c.id_b
+    JOIN ascii_p da ON da.doc_id = c.id_a
+    JOIN ascii_p db ON db.doc_id = c.id_b
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,12 +778,22 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text join-back prunes to candidate ids only (two broadcast-
     sized id joins at bench scale, co-partitioned joins at 100 TB);
     distance cost is candidates x 64^2 — tracks the near-dup rate,
-    not the corpus."""
+    not the corpus.
+
+    Prefixes are ASCII-normalized (non-printable-ASCII stripped)
+    before the distance: DuckDB's levenshtein counts BYTES while
+    Spark's counts characters, so multi-byte text would diverge —
+    on ASCII the two definitions coincide exactly."""
     docs = table(spark, sf_dir, "documents")
     cand = D.lsh_candidate_pairs(
         D.lsh_bands_df(D.minhash_signature_df(D.shingle_pairs_df(docs)))
     )
-    prefix = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    prefix = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace("text", "[^ -~]", ""), 1, 64
+        ).alias("p"),
+    )
     pa = prefix.withColumnsRenamed({"doc_id": "id_a", "p": "p_a"})
     pb = prefix.withColumnsRenamed({"doc_id": "id_b", "p": "p_b"})
     dist = F.levenshtein("p_a", "p_b")

@@ -551,7 +551,7 @@ def corpus_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = S.embeddings_quantized(emb)
     c1 = S.ivf_refined_centroids(v, n_seeds=8)
     a = S.ivf_assign(v, c1)
-    d = _t(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0))

@@ -14,11 +14,17 @@ from mit6_5840_6_824_lab1_mapreduce_spark.plans import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
+    # Register whichever tables the fixture dir carries (the driver's
+    # sf dirs have all of them; synthetic test fixtures may provide a
+    # subset — DuckDB validates CREATE VIEW eagerly).
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con
 
 

@@ -131,3 +131,56 @@ def test_matches_pure_python_reference(spark, vocab):
     }
     exp_seg = {w: " ".join(s) for w, s in exp_seqs.items()}
     assert got_seg == exp_seg
+
+
+def test_n_merges_zero_returns_empty_frame(spark):
+    words = _words(spark, [("ab", 2)])
+    df = bpe_learn_merges(words, 0)
+    assert df.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    assert df.count() == 0
+
+
+def test_stops_cleanly_when_merges_run_dry(spark):
+    # vocab {'a'}: round 1 merges (a, §) into the single symbol 'a§';
+    # no pairs remain, so rounds 2..6 must stop instead of wiping the
+    # sequence table or erroring.
+    words = _words(spark, [("a", 2)])
+    rules = bpe_learn_merges(words, 6).collect()
+    assert len(rules) == 1
+    assert (rules[0].left_sym, rules[0].right_sym) == ("a", "§")
+    seg = bpe_segment(word_symseq(words), bpe_learn_merges(words, 6))
+    assert seg.head().symseq == "·¦a§·¦"
+
+
+def test_degenerate_corpus_still_matches_oracle(spark, tmp_path):
+    """Cross-engine regression for the dry-merge case: a corpus whose
+    vocabulary {'a'} exhausts merge candidates in round 1. The oracle
+    CTE chain must keep the sequence table intact through the empty
+    rounds (LEFT JOIN ON TRUE), and fertility must stay >= 1 even
+    though the lone word fully merges with its end-of-word marker."""
+    import pandas as pd
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+
+    from .oracle_check import compare_query
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a a", "a a"],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [5, 3],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    for name in (
+        "tokenizer_bpe_merges",
+        "tokenizer_bpe_segment",
+        "corpus_bpe_token_counts",
+    ):
+        e = REGISTRY[name]
+        compare_query(spark, e.fn, e.oracle, str(tmp_path), name=name)
+    rows = REGISTRY["corpus_bpe_token_counts"].fn(spark, str(tmp_path)).collect()
+    assert {r.doc_id: r.n_bpe_tokens for r in rows} == {0: 3, 1: 2}
+    assert all(r.fertility == 1.0 for r in rows)
