@@ -252,8 +252,18 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, so even the false positives hash-compare exactly."""
     docs = table(spark, sf_dir, "documents")
     sh = D.shingle_pairs_df(docs).persist()
-    bg = sh.where(F.col("id") % HOLDOUT_MOD == 0).select("shingle").distinct()
-    cg = sh.where(F.col("id") % HOLDOUT_MOD != 0).select("shingle").distinct()
+    # Both distinct gram sets persist too: bg feeds the position build
+    # AND the membership flag, cg feeds the position probe AND the
+    # flags base — without the persist each consumer re-runs the
+    # corpus shingle+distinct.
+    bg = (
+        sh.where(F.col("id") % HOLDOUT_MOD == 0)
+        .select("shingle").distinct().persist()
+    )
+    cg = (
+        sh.where(F.col("id") % HOLDOUT_MOD != 0)
+        .select("shingle").distinct().persist()
+    )
 
     def pos(j):
         return (
