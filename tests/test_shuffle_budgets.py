@@ -1,0 +1,58 @@
+"""Shuffle budgets — perf-as-code for the flagship queries.
+
+The oracle suite proves ANSWERS right and the hygiene suite proves
+plans structurally clean; this suite pins the COST SHAPE: an upper
+bound on shuffle boundaries (Exchange operators, broadcast excluded)
+per flagship query. A refactor that silently introduces an extra
+shuffle — a lost map-side combine, a join that stopped broadcasting,
+a distinct that no longer rides an existing partitioning — fails here
+long before it shows up as a bench regression at scale.
+
+Budgets are measured ceilings (current count + small slack for
+AQE/broadcast-threshold variation at smoke scale), not aspirations:
+tightening one is a deliberate optimization, loosening one must be a
+reviewed decision.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mit6_5840_6_824_lab1_mapreduce_spark.plans import plan_audit
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+# name -> max allowed shuffle boundaries (measured + slack)
+BUDGETS = {
+    "wc_wordcount": 3,
+    "indexer_inverted_index": 3,
+    "tpch_q1_pricing_summary": 2,
+    "tpch_q3_shipping_priority": 2,
+    "tpch_q18_large_volume_customers": 2,
+    "events_hourly_agg": 3,
+    "events_sessionization": 2,
+    "events_asof_last_purchase": 3,
+    "orders_top3_per_customer": 2,
+    "dedup_exact": 3,
+    "dedup_minhash_lsh": 38,  # signature + band + verify pipeline
+    "dedup_simhash_pairs": 9,
+    "decontam_ngram_hits": 9,
+    "corpus_pack_sequences": 3,
+    "events_funnel_conversion": 13,  # 4 chained step joins + aggregates
+    "corpus_ngram_diversity": 6,
+    "kv_final_state": 3,
+    "text_quality_score": 2,
+    "similarity_topk_batch": 2,
+    "corpus_bpe_token_counts": 5,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_count_within_budget(spark, name):
+    audit = plan_audit(REGISTRY[name].fn(spark, SF_SMOKE))
+    assert audit.n_exchanges <= BUDGETS[name], (
+        f"{name}: {audit.n_exchanges} shuffle boundaries exceeds the "
+        f"budget of {BUDGETS[name]} — a map-side combine, broadcast, or "
+        f"partitioning reuse was lost (or raise the budget deliberately)"
+    )
