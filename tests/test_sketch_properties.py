@@ -1,0 +1,108 @@
+"""Property tests for the estimator queries: randomized inputs must
+agree with pure-Python references (and the DuckDB oracle) — pinning
+the estimator arithmetic itself, not just one corpus's answer."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+
+from .oracle_check import compare_query
+
+_prices = st.lists(
+    st.integers(min_value=1, max_value=2_000_000),  # cents
+    min_size=1,
+    max_size=60,
+)
+
+
+def _ref_hist_quantiles(cents):
+    """Python restatement of the power-of-two histogram estimator."""
+    hist: dict[int, int] = {}
+    for c in cents:
+        b = c.bit_length() - 1 if c > 0 else 0
+        hist[b] = hist.get(b, 0) + 1
+    n = len(cents)
+    out = []
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        k = (num * n + den - 1) // den
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= k:
+                lo, hi = 1 << b, (1 << (b + 1)) - 1
+                est = (lo + (hi - lo) * (k - prev - 1) / max(hist[b] - 1, 1)) / 100.0
+                out.append((k, b, est))
+                break
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_prices)
+def test_histogram_quantiles_match_python_and_oracle(
+    spark, tmp_path_factory, cents
+):
+    tmp = tmp_path_factory.mktemp("hq")
+    pd.DataFrame({"o_totalprice": [c / 100.0 for c in cents]}).to_parquet(
+        tmp / "orders.parquet"
+    )
+    e = REGISTRY["sketch_histogram_quantiles"]
+    compare_query(spark, e.fn, e.oracle, str(tmp), name="hq-prop")
+    rows = e.fn(spark, str(tmp)).orderBy("k_rank", "qname").collect()
+    ref = _ref_hist_quantiles(cents)
+    got = sorted(((r.k_rank, r.bucket, r.est_price) for r in rows))
+    for (gk, gb, ge), (rk, rb, re_) in zip(got, sorted(ref)):
+        assert (gk, gb) == (rk, rb)
+        assert math.isclose(ge, round(re_, 4), abs_tol=1e-4)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_join_estimate(a_keys, b_keys, k=64):
+    ah = sorted({_h60(f"jk:{x}") for x in a_keys})[:k]
+    bh = sorted({_h60(f"jk:{x}") for x in b_keys})[:k]
+    mk = sorted(set(ah) | set(bh))[:k]
+    m = len(mk)
+    kth = max(mk)
+    c = sum(1 for h in mk if h in set(ah) and h in set(bh))
+    n_true = len(set(a_keys) & set(b_keys))
+    u = m if m < k else (k - 1) * float(1 << 60) / kth
+    j = c / m
+    return dict(kth_hash=kth, m_merged=m, n_both=c, n_true=n_true,
+                union_est=u, jaccard_est=j, inter_est=j * u)
+
+
+_keys = st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=80)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_keys, _keys)
+def test_join_estimate_matches_python_and_oracle(
+    spark, tmp_path_factory, a_keys, b_keys
+):
+    tmp = tmp_path_factory.mktemp("jk")
+    pd.DataFrame({"o_orderkey": a_keys}).to_parquet(tmp / "orders.parquet")
+    pd.DataFrame({"l_orderkey": b_keys}).to_parquet(tmp / "lineitem.parquet")
+    e = REGISTRY["sketch_join_estimate"]
+    compare_query(spark, e.fn, e.oracle, str(tmp), name="jk-prop")
+    r = e.fn(spark, str(tmp)).head()
+    ref = _ref_join_estimate(a_keys, b_keys)
+    assert r.kth_hash == ref["kth_hash"]
+    assert r.m_merged == ref["m_merged"]
+    assert r.n_both == ref["n_both"]
+    assert r.n_true == ref["n_true"]
+    assert math.isclose(r.union_est, ref["union_est"], rel_tol=1e-6)
+    assert math.isclose(r.jaccard_est, ref["jaccard_est"], abs_tol=1e-6)
+    assert math.isclose(r.inter_est, ref["inter_est"], rel_tol=1e-6, abs_tol=1e-4)
