@@ -50,6 +50,11 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_count_within_budget(spark, name):
+    # Audit the COLD plan: a sibling query's persisted intermediate
+    # (e.g. the decontam shingle table) would otherwise swap scans for
+    # InMemoryTableScans whose cached lineage shifts the exchange
+    # count with test ordering.
+    spark.catalog.clearCache()
     audit = plan_audit(REGISTRY[name].fn(spark, SF_SMOKE))
     assert audit.n_exchanges <= BUDGETS[name], (
         f"{name}: {audit.n_exchanges} shuffle boundaries exceeds the "
