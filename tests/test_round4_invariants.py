@@ -90,3 +90,48 @@ def test_cluster_sample_caps_per_cluster(spark):
     over = df.groupBy("cid").count().where(F.col("count") > 5).count()
     assert over == 0
     assert df.where((F.col("pick_rank") < 1) | (F.col("pick_rank") > 5)).count() == 0
+
+
+# ---- property: diversity vs pure-Python reference ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+    min_size=0, max_size=12,
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _ref_diversity(texts):
+    out = {}
+    toks = [t.split() for t in texts]
+    for n in (1, 2, 3):
+        grams = [
+            tuple(ts[i:i + n]) for ts in toks for i in range(len(ts) - n + 1)
+        ]
+        if grams:
+            out[n] = (len(grams), len(set(grams)))
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_diversity_matches_python_reference(spark, tmp_path_factory, texts):
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("div")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp / "documents.parquet")
+    rows = REGISTRY["corpus_ngram_diversity"].fn(spark, str(tmp)).collect()
+    got = {r.gram_n: (r.total_grams, r.distinct_grams) for r in rows}
+    assert got == _ref_diversity(texts)
