@@ -30,6 +30,7 @@ from ..plans import table
 from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
 from .registry import REGISTRY, query
 from .text_metrics import language_frame, quality_frame
+from .training import PACK_BUDGET, PACK_SHARDS, TOKEN_RE
 
 QUALITY_MIN = 0.40  # ≈ p10 of the corpus quality distribution
 KEEP_LANG = "en"
@@ -106,6 +107,7 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lid, "doc_id")
         .select(
             "doc_id",
+            "component",
             "n_chars",
             F.when(F.col("doc_id") != F.col("keep_id"), "drop_exact_dup")
             .when(F.col("doc_id") != F.col("component"), "drop_near_dup")
@@ -133,7 +135,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (heuristic score < 0.40), language drop (stopword ID ≠ 'en').
     The production job writes `WHERE verdict = 'keep'` as the training
     shard; emitting the verdict keeps the audit trail."""
-    return _pipeline_frame(spark, sf_dir).drop("n_chars")
+    return _pipeline_frame(spark, sf_dir).select(
+        "doc_id", "verdict", "quality_score", "pred_lang"
+    )
 
 
 @query(
@@ -167,4 +171,88 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_quality"),
         )
+    )
+
+
+@query(
+    "pipeline_training_export",
+    oracle=_PIPELINE_PREFIX
+    + rf""",
+    keep_train AS (
+      SELECT v.doc_id, comp.component
+      FROM v JOIN comp USING (doc_id)
+      WHERE v.verdict = 'keep'
+        AND substr(md5('lsplit:' || CAST(comp.component AS VARCHAR)), 1, 1)
+              NOT IN ('0', '1')
+    ),
+    t AS (
+      SELECT k.doc_id, k.component, k.doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(d.text, '[\p{{L}}]+')) AS BIGINT)
+               AS n_tokens
+      FROM keep_train k JOIN documents d USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, component, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, component, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end artifact: the documents a training run actually
+    consumes. Composes the whole repo in one hash-checked query —
+    cleaning verdicts (exact dedup, MinHash+LSH clusters, quality,
+    language) -> leakage-safe TRAIN split (hash keyed on the near-dup
+    cluster representative, same rule as corpus_leakage_safe_split,
+    so no near-duplicate of a holdout doc can train) -> per-shard
+    contiguous sequence packing over the survivors.
+
+    Every stage reuses the exact operator (and oracle fragment) its
+    standalone query registered, so the driver compare proves the
+    COMPOSITION end to end: a verdict flip, a split leak, or an
+    off-by-one in the packing cumsum all change the hash. Scale story
+    per stage: see pipeline_clean_corpus, corpus_leakage_safe_split,
+    and corpus_pack_sequences — nothing new shuffles here beyond the
+    doc_id-keyed joins between them."""
+    frame = _pipeline_frame(spark, sf_dir)
+    train = frame.where(
+        (F.col("verdict") == "keep")
+        & ~F.substring(
+            F.md5(F.concat(F.lit("lsplit:"), F.col("component").cast("string"))),
+            1,
+            1,
+        ).isin("0", "1")
+    ).select("doc_id", "component")
+    docs = table(spark, sf_dir, "documents")
+    d_tok = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    t = (
+        train.join(d_tok, "doc_id")
+        .withColumn("shard", F.col("doc_id") % PACK_SHARDS)
+        .where(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    seq_first = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    seq_last = F.floor((F.col("cum") - 1) / PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "component",
+        "shard",
+        "n_tokens",
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
     )

@@ -135,3 +135,47 @@ def test_diversity_matches_python_reference(spark, tmp_path_factory, texts):
     rows = REGISTRY["corpus_ngram_diversity"].fn(spark, str(tmp)).collect()
     got = {r.gram_n: (r.total_grams, r.distinct_grams) for r in rows}
     assert got == _ref_diversity(texts)
+
+
+def test_training_export_is_leakage_safe_and_consistent(spark):
+    exp = REGISTRY["pipeline_training_export"].fn(spark, SF_SMOKE)
+    rows = exp.collect()
+    assert rows
+    # no exported component hashes to the holdout side
+    import hashlib
+
+    for r in rows:
+        assert hashlib.md5(f"lsplit:{r.component}".encode()).hexdigest()[0] not in (
+            "0",
+            "1",
+        )
+        assert r.seq_first <= r.seq_last
+        assert r.n_tokens >= 1
+    # exported set == (keep verdicts ∩ train split) minus zero-token docs
+    clean = (
+        REGISTRY["pipeline_clean_corpus"]
+        .fn(spark, SF_SMOKE)
+        .where("verdict = 'keep'")
+        .select("doc_id")
+    )
+    split = (
+        REGISTRY["corpus_leakage_safe_split"]
+        .fn(spark, SF_SMOKE)
+        .where("split = 'train'")
+        .select("doc_id")
+    )
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.training import TOKEN_RE
+
+    toks = table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("nt"),
+    )
+    expect = {
+        r.doc_id
+        for r in clean.join(split, "doc_id")
+        .join(toks, "doc_id")
+        .where(F.col("nt") > 0)
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == expect
