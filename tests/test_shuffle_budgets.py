@@ -45,6 +45,15 @@ BUDGETS = {
     "text_quality_score": 2,
     "similarity_topk_batch": 2,
     "corpus_bpe_token_counts": 5,
+    "pipeline_training_export": 11,  # verdicts + split + pack joins
+    "decontam_bloom_prefilter": 22,  # dual-path certification query
+    "dedup_edit_distance": 8,
+    "sketch_join_estimate": 6,
+    "corpus_leakage_safe_split": 4,  # CC output is checkpointed upstream
+    "corpus_semantic_mixture": 7,
+    "embedding_cluster_sample": 6,
+    "sketch_histogram_quantiles": 5,
+    "tokenizer_bpe_segment": 3,
 }
 
 
