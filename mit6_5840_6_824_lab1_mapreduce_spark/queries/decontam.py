@@ -251,18 +251,22 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5 hashing means DuckDB re-derives the identical
     filter, so even the false positives hash-compare exactly."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_pairs_df(docs).persist()
-    # Both distinct gram sets persist too: bg feeds the position build
-    # AND the membership flag, cg feeds the position probe AND the
-    # flags base — without the persist each consumer re-runs the
-    # corpus shingle+distinct.
+    # Lazy localCheckpoint, not persist(): each gram set has two
+    # consumers (bg: position build + membership flag; cg: position
+    # probe + flags base), so materialize once — but WITHOUT entering
+    # the session CacheManager, whose cached relations would be
+    # substituted into OTHER queries' plans that share the shingle
+    # subtree (order-dependent plan shapes) and would live until
+    # session end. Checkpointed blocks are freed when the Python
+    # DataFrame is garbage-collected.
+    sh = D.shingle_pairs_df(docs).localCheckpoint(eager=False)
     bg = (
         sh.where(F.col("id") % HOLDOUT_MOD == 0)
-        .select("shingle").distinct().persist()
+        .select("shingle").distinct().localCheckpoint(eager=False)
     )
     cg = (
         sh.where(F.col("id") % HOLDOUT_MOD != 0)
-        .select("shingle").distinct().persist()
+        .select("shingle").distinct().localCheckpoint(eager=False)
     )
 
     def pos(j):

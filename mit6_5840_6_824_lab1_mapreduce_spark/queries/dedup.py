@@ -689,6 +689,27 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSPLIT_SALT = "lsplit:"
+
+
+def lsplit_is_holdout_sql(col: str) -> str:
+    """Oracle-side leakage-safe split predicate: TRUE when the
+    component hashes to the holdout side (~1/8). ONE definition so
+    the split rule can never drift between corpus_leakage_safe_split
+    and pipeline_training_export."""
+    return (
+        f"substr(md5('{LSPLIT_SALT}' || CAST({col} AS VARCHAR)), 1, 1)"
+        " IN ('0', '1')"
+    )
+
+
+def lsplit_is_holdout(col: "F.Column") -> "F.Column":
+    """Spark twin of lsplit_is_holdout_sql."""
+    return F.substring(
+        F.md5(F.concat(F.lit(LSPLIT_SALT), col.cast("string"))), 1, 1
+    ).isin("0", "1")
+
+
 @query(
     "corpus_leakage_safe_split",
     oracle=rf"""
@@ -698,8 +719,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_CC_SQL},
     comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
     SELECT doc_id, component,
-           CASE WHEN substr(md5('lsplit:' || CAST(component AS VARCHAR)), 1, 1)
-                     IN ('0','1') THEN 'holdout'
+           CASE WHEN {lsplit_is_holdout_sql("component")} THEN 'holdout'
                 ELSE 'train' END AS split
     FROM comp
     """,
@@ -722,18 +742,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"),
         "component",
-        F.when(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("lsplit:"), F.col("component").cast("string")
-                    )
-                ),
-                1,
-                1,
-            ).isin("0", "1"),
-            "holdout",
-        )
+        F.when(lsplit_is_holdout(F.col("component")), "holdout")
         .otherwise("train")
         .alias("split"),
     )

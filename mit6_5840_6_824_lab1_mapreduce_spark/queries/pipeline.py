@@ -30,7 +30,8 @@ from ..plans import table
 from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
 from .registry import REGISTRY, query
 from .text_metrics import language_frame, quality_frame
-from .training import PACK_BUDGET, PACK_SHARDS, TOKEN_RE
+from .dedup import lsplit_is_holdout, lsplit_is_holdout_sql
+from .training import PACK_SHARDS, TOKEN_RE, pack_sequences_frame, pack_sql
 
 QUALITY_MIN = 0.40  # ≈ p10 of the corpus quality distribution
 KEEP_LANG = "en"
@@ -85,9 +86,10 @@ _PIPELINE_PREFIX = (
 
 
 def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chars, verdict, quality_score, pred_lang) for every
-    document — first matching drop reason wins, priority
-    exact_dup > near_dup > low_quality > lang."""
+    """(doc_id, component, n_chars, verdict, quality_score, pred_lang)
+    for every document — first matching drop reason wins, priority
+    exact_dup > near_dup > low_quality > lang; `component` is the
+    near-dup cluster id the leakage-safe split keys on."""
     docs = table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
@@ -182,8 +184,7 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.doc_id, comp.component
       FROM v JOIN comp USING (doc_id)
       WHERE v.verdict = 'keep'
-        AND substr(md5('lsplit:' || CAST(comp.component AS VARCHAR)), 1, 1)
-              NOT IN ('0', '1')
+        AND NOT ({lsplit_is_holdout_sql("comp.component")})
     ),
     t AS (
       SELECT k.doc_id, k.component, k.doc_id % {PACK_SHARDS} AS shard,
@@ -191,16 +192,9 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_tokens
       FROM keep_train k JOIN documents d USING (doc_id)
     ),
-    c AS (
-      SELECT doc_id, component, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum
-      FROM t WHERE n_tokens > 0
-    )
-    SELECT doc_id, component, shard, n_tokens,
-           CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_first,
-           CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT) AS seq_last
-    FROM c
+    {pack_sql("t", extra_cols=", component")}
+    SELECT doc_id, component, shard, n_tokens, seq_first, seq_last
+    FROM packed
     """,
 )
 def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,11 +216,7 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = _pipeline_frame(spark, sf_dir)
     train = frame.where(
         (F.col("verdict") == "keep")
-        & ~F.substring(
-            F.md5(F.concat(F.lit("lsplit:"), F.col("component").cast("string"))),
-            1,
-            1,
-        ).isin("0", "1")
+        & ~lsplit_is_holdout(F.col("component"))
     ).select("doc_id", "component")
     docs = table(spark, sf_dir, "documents")
     d_tok = docs.select(
@@ -235,24 +225,7 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    t = (
-        train.join(d_tok, "doc_id")
-        .withColumn("shard", F.col("doc_id") % PACK_SHARDS)
-        .where(F.col("n_tokens") > 0)
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    seq_first = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
-    seq_last = F.floor((F.col("cum") - 1) / PACK_BUDGET)
-    return c.select(
-        "doc_id",
-        "component",
-        "shard",
-        "n_tokens",
-        seq_first.cast("long").alias("seq_first"),
-        seq_last.cast("long").alias("seq_last"),
+    packed = pack_sequences_frame(train.join(d_tok, "doc_id"))
+    return packed.select(
+        "doc_id", "component", "shard", "n_tokens", "seq_first", "seq_last"
     )

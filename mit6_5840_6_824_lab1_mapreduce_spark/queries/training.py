@@ -43,6 +43,49 @@ def _tokens() -> F.Column:
     return F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
 
 
+def pack_sequences_frame(d: "DataFrame") -> "DataFrame":
+    """Shared packing rule (Spark side): given (doc_id, n_tokens
+    [, extra cols]), shard by doc_id, lay documents end to end in
+    doc_id order per shard, and cut every PACK_BUDGET tokens. ONE
+    definition for corpus_pack_sequences and pipeline_training_export
+    so the boundary rule can never drift between them."""
+    t = d.withColumn("shard", F.col("doc_id") % PACK_SHARDS).where(
+        F.col("n_tokens") > 0
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    seq_first = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    seq_last = F.floor((F.col("cum") - 1) / PACK_BUDGET)
+    return (
+        c.withColumn("seq_first", seq_first.cast("long"))
+        .withColumn("seq_last", seq_last.cast("long"))
+        .drop("cum")
+    )
+
+
+def pack_sql(src_cte: str, extra_cols: str = "") -> str:
+    """Shared packing rule (oracle side): the cumsum CTE + seq math
+    over a (doc_id, shard, n_tokens [, extras]) CTE named `src_cte`.
+    `extra_cols` is a leading-comma column list carried through."""
+    return f"""
+    packc AS (
+      SELECT doc_id, shard, n_tokens{extra_cols},
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM {src_cte} WHERE n_tokens > 0
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens{extra_cols},
+             CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_first,
+             CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT) AS seq_last
+      FROM packc
+    )"""
+
+
 @query(
     "corpus_pack_sequences",
     oracle=rf"""
@@ -51,18 +94,10 @@ def _tokens() -> F.Column:
              CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
-    c AS (
-      SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum
-      FROM t WHERE n_tokens > 0
-    )
-    SELECT doc_id, shard, n_tokens,
-           CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_first,
-           CAST(floor((cum - 1) / {PACK_BUDGET}.0) AS BIGINT) AS seq_last,
-           CAST(floor((cum - 1) / {PACK_BUDGET}.0)
-                - floor((cum - n_tokens) / {PACK_BUDGET}.0) + 1 AS BIGINT) AS n_seqs
-    FROM c
+    {pack_sql("t")}
+    SELECT doc_id, shard, n_tokens, seq_first, seq_last,
+           CAST(seq_last - seq_first + 1 AS BIGINT) AS n_seqs
+    FROM packed
     """,
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,25 +112,16 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     promised within a shard, which is what real packers deliver:
     one output shard per writer)."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(_tokens()).cast("long").alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    c = d.withColumn("cum", F.sum("n_tokens").over(w))
-    seq_first = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
-    seq_last = F.floor((F.col("cum") - 1) / PACK_BUDGET)
-    return c.select(
+    packed = pack_sequences_frame(d)
+    return packed.select(
         "doc_id",
         "shard",
         "n_tokens",
-        seq_first.cast("long").alias("seq_first"),
-        seq_last.cast("long").alias("seq_last"),
-        (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
+        "seq_first",
+        "seq_last",
+        (F.col("seq_last") - F.col("seq_first") + 1).cast("long").alias("n_seqs"),
     )
 
 

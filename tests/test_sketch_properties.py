@@ -60,7 +60,8 @@ def test_histogram_quantiles_match_python_and_oracle(
     rows = e.fn(spark, str(tmp)).orderBy("k_rank", "qname").collect()
     ref = _ref_hist_quantiles(cents)
     got = sorted(((r.k_rank, r.bucket, r.est_price) for r in rows))
-    for (gk, gb, ge), (rk, rb, re_) in zip(got, sorted(ref)):
+    assert len(got) == len(ref)
+    for (gk, gb, ge), (rk, rb, re_) in zip(got, sorted(ref), strict=True):
         assert (gk, gb) == (rk, rb)
         assert math.isclose(ge, round(re_, 4), abs_tol=1e-4)
 
