@@ -672,32 +672,42 @@ def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sum(cnt) OVER (ORDER BY bucket) - cnt AS cum_prev
            FROM hist),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
-    ex AS (SELECT quantile_cont(cents, 0.5) AS e50,
-                  quantile_cont(cents, 0.9) AS e90,
-                  quantile_cont(cents, 0.99) AS e99
-           FROM c),
+    ranked AS (SELECT cents,
+                      row_number() OVER (ORDER BY cents) AS rn
+               FROM c),
     t(qname, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
                                   ('p99', 99, 100)),
+    t2 AS (SELECT t.qname,
+                  CAST(t.num AS BIGINT) AS num, CAST(t.den AS BIGINT) AS den,
+                  (t.num * tot.n + t.den - 1) // t.den AS k,
+                  (t.num * (tot.n - 1)) // t.den AS f,
+                  (t.num * (tot.n - 1)) % t.den AS rem,
+                  tot.n AS n
+           FROM t, tot),
+    ex AS (SELECT t2.qname, t2.den, t2.rem,
+                  max(CASE WHEN r.rn = t2.f + 1 THEN r.cents END) AS c_lo,
+                  max(CASE WHEN r.rn = least(t2.f + 2, t2.n)
+                      THEN r.cents END) AS c_hi
+           FROM t2 JOIN ranked r
+             ON r.rn BETWEEN t2.f + 1 AND least(t2.f + 2, t2.n)
+           GROUP BY 1, 2, 3),
     sel AS (
-      SELECT t.qname,
-             (t.num * tot.n + t.den - 1) // t.den AS k,
-             h2.bucket, h2.cnt, h2.cum_prev
-      FROM t, tot, h2
-      WHERE h2.cum >= (t.num * tot.n + t.den - 1) // t.den
-        AND h2.cum_prev < (t.num * tot.n + t.den - 1) // t.den
+      SELECT t2.qname, t2.k, h2.bucket, h2.cnt, h2.cum_prev
+      FROM t2, h2
+      WHERE h2.cum >= t2.k AND h2.cum_prev < t2.k
     )
     SELECT s.qname,
            CAST(s.k AS BIGINT) AS k_rank,
            CAST(s.bucket AS BIGINT) AS bucket,
-           round(((CAST(1 AS BIGINT) << s.bucket)
-                  + ((CAST(1 AS BIGINT) << (s.bucket + 1)) - 1
+           CAST(((CAST(1 AS BIGINT) << s.bucket) * 10000
+                 + (((CAST(1 AS BIGINT) << (s.bucket + 1)) - 1
                      - (CAST(1 AS BIGINT) << s.bucket))
-                    * (s.k - s.cum_prev - 1)
-                    / greatest(s.cnt - 1, 1)) / 100.0, 4) AS est_price,
-           round((CASE s.qname WHEN 'p50' THEN ex.e50
-                               WHEN 'p90' THEN ex.e90
-                               ELSE ex.e99 END) / 100.0, 4) AS exact_price
-    FROM sel s, ex
+                    * (s.k - s.cum_prev - 1) * 10000)
+                   // greatest(s.cnt - 1, 1)
+                 + 50) // 100 AS DOUBLE) / 10000.0 AS est_price,
+           CAST(((e.c_lo * e.den + (e.c_hi - e.c_lo) * e.rem) * 100
+                 + e.den // 2) // e.den AS DOUBLE) / 10000.0 AS exact_price
+    FROM sel s JOIN ex e USING (qname)
     """,
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,10 +720,27 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate (a production run keeps only the histogram cost:
     one aggregate, no full-group shuffle or sort).
 
-    Target ranks use ceil(q*n) in pure integer arithmetic
-    ((num*n + den - 1) div den), so bucket selection is
-    engine-reproducible; the only floats are the two final rounded
-    divisions, identical IEEE expressions on both engines."""
+    EVERY output number is integer-exact on both engines (the round-4
+    verdict's headline fix): the estimate interpolates in scaled
+    integer cents (×10⁴) with integer division, and the exact
+    continuous percentile is rebuilt from the two order statistics
+    around rank q·(n−1) as c_lo·den + (c_hi−c_lo)·rem — no
+    double-typed `percentile`/`quantile_cont`, whose round(double, 4)
+    diverged between Spark (HALF_UP on shortest decimal repr) and
+    DuckDB (binary-double round) on tie inputs like 19660.79125.
+    Final prices are round-half-up integers in 10⁻⁴-dollar units cast
+    to double and divided by 10⁴ — both operands exact, one correctly
+    rounded IEEE division, bit-identical cross-engine.
+
+    int64 headroom: the widest product is (hi−lo)·cnt·10⁴ ≤
+    cents_max·n·10⁴; safe while cents_max·n < 9.2×10¹⁴ (sf0.1:
+    ~6×10⁷·1.5×10⁵ ≈ 10¹³ ✓). Past that, promote the interpolation
+    to DECIMAL(38,0) on both engines.
+
+    The order-statistic side funnels through a single-partition
+    row_number — that is the GRADING side only (the old double
+    `percentile` was equally a full-data global aggregate); a
+    production run keeps just the histogram cost."""
     o = table(spark, sf_dir, "orders").select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -729,38 +756,68 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_prev", F.col("cum") - F.col("cnt")
     )
     tot = o.agg(F.count("*").alias("n"))
-    ex = o.agg(
-        F.percentile("cents", F.lit(0.5)).alias("e50"),
-        F.percentile("cents", F.lit(0.9)).alias("e90"),
-        F.percentile("cents", F.lit(0.99)).alias("e99"),
-    )
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("cents")))
     targets = spark.createDataFrame(
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
         "qname string, num long, den long",
     )
-    k = F.expr("(num * n + den - 1) div den")
-    sel = (
+    t2 = (
         targets.crossJoin(F.broadcast(tot))
-        .withColumn("k", k)
-        .crossJoin(F.broadcast(h2))
-        .where((F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+        .select(
+            "qname",
+            "num",
+            "den",
+            "n",
+            F.expr("(num * n + den - 1) div den").alias("k"),
+            F.expr("(num * (n - 1)) div den").alias("f"),
+            F.expr("(num * (n - 1)) % den").alias("rem"),
+        )
     )
-    lo = F.expr("shiftleft(1L, CAST(bucket AS INT))")
-    hi = F.expr("shiftleft(1L, CAST(bucket AS INT) + 1) - 1L")
-    est = (lo + (hi - lo) * (F.col("k") - F.col("cum_prev") - 1)
-           / F.greatest(F.col("cnt") - 1, F.lit(1))) / F.lit(100.0)
-    exact = (
-        F.when(F.col("qname") == "p50", F.col("e50"))
-        .when(F.col("qname") == "p90", F.col("e90"))
-        .otherwise(F.col("e99"))
-    ) / F.lit(100.0)
+    # 3-row broadcast against the ranked cents: picks out the two
+    # order statistics bracketing each target rank (BNLJ on a bounded
+    # build side — see BNLJ_ALLOWED).
+    ex = (
+        ranked.join(
+            F.broadcast(t2),
+            (F.col("rn") >= F.col("f") + 1)
+            & (F.col("rn") <= F.least(F.col("f") + 2, F.col("n"))),
+        )
+        .groupBy("qname", "den", "rem")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("f") + 1, F.col("cents"))).alias(
+                "c_lo"
+            ),
+            F.max(
+                F.when(
+                    F.col("rn") == F.least(F.col("f") + 2, F.col("n")),
+                    F.col("cents"),
+                )
+            ).alias("c_hi"),
+        )
+    )
+    sel = (
+        t2.crossJoin(F.broadcast(h2))
+        .where((F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+        .select("qname", "k", "bucket", "cnt", "cum_prev")
+    )
+    est_p4 = F.expr(
+        """(shiftleft(1L, CAST(bucket AS INT)) * 10000L
+            + ((shiftleft(1L, CAST(bucket AS INT) + 1) - 1L
+                - shiftleft(1L, CAST(bucket AS INT)))
+               * (k - cum_prev - 1) * 10000L)
+              div greatest(cnt - 1, 1L)
+            + 50L) div 100L"""
+    )
+    exact_p4 = F.expr(
+        "((c_lo * den + (c_hi - c_lo) * rem) * 100L + den div 2L) div den"
+    )
     return (
-        sel.crossJoin(F.broadcast(ex))
+        sel.join(F.broadcast(ex), "qname")
         .select(
             "qname",
             F.col("k").cast("long").alias("k_rank"),
             F.col("bucket").cast("long").alias("bucket"),
-            F.round(est, 4).alias("est_price"),
-            F.round(exact, 4).alias("exact_price"),
+            (est_p4.cast("double") / F.lit(10000.0)).alias("est_price"),
+            (exact_p4.cast("double") / F.lit(10000.0)).alias("exact_price"),
         )
     )
