@@ -181,6 +181,11 @@ def jaccard_verified_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), exact ints → double → 6dp."""
+    # Deferred import: queries._util lives under the queries package,
+    # whose __init__ imports back into operators (circular at module
+    # load when operators.dedup is the entry point).
+    from ..queries._util import exact_ratio_spark
+
     cnt = shingles.groupBy("id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("id").alias("id_a"), "shingle")
     sb = shingles.select(F.col("id").alias("id_b"), "shingle")
@@ -196,10 +201,10 @@ def jaccard_verified_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            # Integer-exact half-up Jaccard (round-5 tie-class sweep):
+            # round(double, 6) diverges cross-engine on decimal ties.
+            exact_ratio_spark(
+                "n_inter", "n_a + n_b - n_inter"
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -47,10 +47,15 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a_q: Column, b_q: Column, a_n2: Column, b_n2: Column) -> Column:
-    """cosine from quantized vectors + precomputed squared norms,
-    rounded to 6dp (deterministic: all inputs exact integers)."""
-    return F.round(
-        dot_ll(a_q, b_q) / (F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))),
+    """cosine from quantized vectors + precomputed squared norms, at
+    6dp via det_round (deterministic: exact integer inputs, correctly
+    rounded sqrt/divide; native round(double, 6) is tie-divergent
+    cross-engine — round-5 sweep)."""
+    from ..queries._util import det_round_col
+
+    return det_round_col(
+        dot_ll(a_q, b_q)
+        / (F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))),
         6,
     )
 

@@ -40,8 +40,97 @@ def charge() -> Column:
 
 
 def avg_of(sum_dec: Column, count_col: Column, alias: str, dp: int = 6) -> Column:
-    """Deterministic average: exact-decimal sum → double ÷ count."""
-    return F.round(sum_dec.cast("double") / count_col, dp).alias(alias)
+    """Deterministic average: exact-decimal sum → double ÷ count,
+    finished with det_round (the exact decimal→double cast and the
+    division are correctly rounded, so the double is engine-identical;
+    native round(double, dp) is tie-divergent — round-5 sweep). SQL
+    twin: det_round_sql("CAST(sum(...) AS DOUBLE) / count(*)")."""
+    return det_round_col(sum_dec.cast("double") / count_col, dp).alias(alias)
+
+
+def exact_ratio_spark(num: str, den: str, dp: int = 6) -> Column:
+    """Round-half-up of the TRUE rational num/den at `dp` decimals,
+    computed entirely in int64 — the tie-proof replacement for
+    ``round(num/den, dp)`` on integer operands (round-5 verdict:
+    Spark's round(double, n) HALF_UPs the shortest decimal repr while
+    DuckDB rounds the binary double, so quotients whose decimal
+    expansion ends in 5 at position dp+1 — e.g. odd/640 at dp=6 —
+    can diverge between engines).
+
+    floor((num·10^dp + den/2) / den) = (2·num·10^dp + den) div (2·den)
+    for any positive den (odd or even); the final int→double cast and
+    division by 10^dp are both exact/correctly-rounded IEEE ops, so
+    the emitted double is bit-identical cross-engine.
+
+    Contract: num ≥ 0, den > 0, both integral SQL expressions;
+    int64 headroom requires num < 4.6×10^18 / 10^dp (dp=6: num below
+    ~4.6×10^12 — fine for counts; promote to DECIMAL beyond)."""
+    s = 10 ** dp
+    return F.expr(
+        f"CAST((2 * CAST(({num}) AS BIGINT) * {s}L + CAST(({den}) AS BIGINT))"
+        f" div (2 * CAST(({den}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE)"
+    )
+
+
+def exact_ratio_sql(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`exact_ratio_spark` — identical integer
+    arithmetic (`//` floor-division ≡ Spark `div` for non-negative
+    operands), identical final exact division."""
+    s = 10 ** dp
+    return (
+        f"(CAST((2 * CAST(({num}) AS BIGINT) * {s} + CAST(({den}) AS BIGINT))"
+        f" // (2 * CAST(({den}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE))"
+    )
+
+
+def det_round_spark(x: str, dp: int = 6) -> Column:
+    """Engine-identical rounding for DOUBLE expressions that cannot be
+    integer-ized (sqrt/ln/overflow-prone scales): the explicit
+    ``floor(x·10^dp + 0.5) / 10^dp`` — every step (multiply by an
+    exactly-representable power of ten, add 0.5, floor, divide) is a
+    single correctly-rounded IEEE op, so BOTH engines compute the
+    same bits from the same input double. Unlike ``round(x, dp)``
+    (Spark: HALF_UP on the shortest decimal repr; DuckDB: round of
+    the binary value — divergent on decimal-tie inputs), this is
+    deterministic by construction; it may differ from "true decimal
+    rounding" by one grid step when x·10^dp lands within 1 ulp of a
+    .5 boundary, identically on both engines.
+
+    Contract: pair with :func:`det_round_sql` — never with the
+    engines' native round(). Values with |x| ≥ 2^53/10^dp pass
+    through unrounded (their double grid is already coarser than
+    10^-dp, and Spark's floor(double)→BIGINT would overflow) —
+    identically on both engines."""
+    s = 10 ** dp
+    thr = float(2**53) / s
+    return F.expr(
+        f"CASE WHEN abs({x}) >= {thr!r} THEN ({x}) ELSE "
+        f"CAST(floor(({x}) * CAST({s} AS DOUBLE) + 0.5d) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE) END"
+    )
+
+
+def det_round_col(x: Column, dp: int = 6) -> Column:
+    """Column-input variant of :func:`det_round_spark` (same IEEE
+    floor(x·10^dp + 0.5)/10^dp with the 2^53 pass-through guard)."""
+    s = float(10 ** dp)
+    thr = float(2**53) / s
+    return F.when(F.abs(x) >= thr, x).otherwise(
+        F.floor(x * F.lit(s) + F.lit(0.5)).cast("double") / F.lit(s)
+    )
+
+
+def det_round_sql(x: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`det_round_spark`."""
+    s = 10 ** dp
+    thr = float(2**53) / s
+    return (
+        f"(CASE WHEN abs({x}) >= {thr!r} THEN ({x}) ELSE "
+        f"CAST(floor(({x}) * CAST({s} AS DOUBLE) + 0.5) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE) END)"
+    )
 
 
 def ts_str(col: str | Column, alias: str) -> Column:

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import letter_tokens
 from ..operators.bpe import BOUND, EOW, bpe_learn_merges, bpe_segment, word_symseq
 from ..plans import table
+from ._util import exact_ratio_spark, exact_ratio_sql
 from .registry import query
+
+# Placeholder spliced into the f-string oracle below (the oracle is an
+# f-string, so a literal {fertility} field would be eagerly evaluated).
+_FERT_PH = "__FERTILITY_EXPR__"
 
 _N_MERGES = 6
 _SEG_TOP = 50
@@ -193,10 +198,10 @@ def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
-           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+           {_FERT_PH} AS fertility
     FROM dw JOIN segn USING (word)
     GROUP BY doc_id
-    """
+    """.replace(_FERT_PH, exact_ratio_sql("sum(n_sub)", "count(*)"))
     ),
 )
 def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,8 +246,7 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_words"),
             F.sum("n_sub").alias("n_bpe_tokens"),
-            F.round(
-                F.sum("n_sub").cast("double") / F.count("*"), 6
-            ).alias("fertility"),
+            # Integer-exact half-up fertility (round-5 tie-class sweep).
+            exact_ratio_spark("sum(n_sub)", "count(1)").alias("fertility"),
         )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..plans import table
 from .dedup import _SHINGLES_SQL
+from ._util import exact_ratio_spark
 from .registry import query
 
 MAX_GRAM_DF = 50  # grams in more docs than this are boilerplate, not leakage
@@ -146,7 +147,7 @@ EMB_COS_THRESHOLD = 0.45
     )
     SELECT corpus_id,
            count(*) AS n_holdout_hits,
-           round(max(cos), 6) AS max_cos
+           max(cos) AS max_cos
     FROM hits WHERE cos >= {EMB_COS_THRESHOLD}
     GROUP BY corpus_id
     """,
@@ -183,7 +184,8 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.groupBy("corpus_id").agg(
         F.count("*").alias("n_holdout_hits"),
-        F.round(F.max("cos"), 6).alias("max_cos"),
+        # cos is already an exact k/1e6 det_round value - no re-round.
+        F.max("cos").alias("max_cos"),
     )
 
 
@@ -227,9 +229,7 @@ _BLOOM_JS = ", ".join(str(j) for j in range(BLOOM_K))  # oracle UNNEST list
            CAST(sum(member) AS BIGINT) AS n_true_member,
            CAST(sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_positive,
-           round(CAST(sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)
-                      AS DOUBLE)
-                 / nullif(count(*) - sum(member), 0), 6) AS fp_rate
+           (CAST((2 * CAST((sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)) AS BIGINT) * 1000000 + CAST((nullif(count(*) - sum(member), 0)) AS BIGINT)) // (2 * CAST((nullif(count(*) - sum(member), 0)) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS fp_rate
     FROM flags
     """,
 )
@@ -313,9 +313,9 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("passed").cast("long").alias("n_pass_bloom"),
         F.sum("member").cast("long").alias("n_true_member"),
         fp.cast("long").alias("n_false_positive"),
-        F.round(
-            fp.cast("double")
-            / F.nullif(F.count(F.lit(1)) - F.sum("member"), F.lit(0)),
-            6,
+        # Integer-exact half-up FP rate (round-5 tie-class sweep).
+        exact_ratio_spark(
+            "sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)",
+            "nullif(count(1) - sum(member), 0)",
         ).alias("fp_rate"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..plans import table
+from ._util import exact_ratio_spark
 from .registry import query
 
 _SHINGLES_SQL = r"""
@@ -85,9 +86,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
-           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,9 +127,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
-           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     """,
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,9 +273,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.id_a, p.id_b
     )
     SELECT i.id_a, i.id_b,
-           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.3
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,9 +316,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            # Integer-exact half-up Jaccard (round-5 tie-class sweep).
+            exact_ratio_spark(
+                "n_inter", "n_a + n_b - n_inter"
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.3)
@@ -341,7 +342,7 @@ _CC_SQL = r"""
     jpairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     ),
     e AS (
       SELECT id_a AS src, id_b AS dst FROM jpairs
@@ -442,7 +443,7 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     )
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
@@ -506,11 +507,11 @@ def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.id, b.id
     )
     SELECT i.id_a, i.id_b, i.n_inter,
-           round(n_inter * 1.0 / ca.n, 6) AS contain_a,
-           round(n_inter * 1.0 / cb.n, 6) AS contain_b
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * CAST((ca.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_a,
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * CAST((cb.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_b
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE greatest(round(n_inter * 1.0 / ca.n, 6),
-                   round(n_inter * 1.0 / cb.n, 6)) >= 0.5
+    WHERE greatest((CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * CAST((ca.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)),
+                   (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * CAST((cb.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE))) >= 0.5
     """,
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,8 +550,9 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = F.round(F.col("n_inter") / F.col("n_a"), 6)
-    cb = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    # Integer-exact half-up containments (round-5 tie-class sweep).
+    ca = exact_ratio_spark("n_inter", "n_a")
+    cb = exact_ratio_spark("n_inter", "n_b")
     return (
         inter.join(cnt.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(cnt.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
@@ -584,7 +586,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i.new_id, i.other_id
       FROM inter i JOIN cnt ca ON i.new_id = ca.id
                    JOIN cnt cb ON i.other_id = cb.id
-      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     ),
     agg AS (
       SELECT new_id,
@@ -640,9 +642,9 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     ),
     jac AS (
-      SELECT round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS j
+      SELECT (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS j
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.7
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.7
     )
     SELECT count(*) AS n_pairs_070,
            CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
@@ -651,9 +653,8 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_pairs_090,
            CAST(sum(CASE WHEN j >= round(1.0, 6) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pairs_exact,
-           round(min(j), 6) AS min_jaccard,
-           round(CAST(sum(CAST(round(j * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                 / 1000000.0 / count(*), 6) AS mean_jaccard
+           min(j) AS min_jaccard,
+           (CAST((2 * CAST((sum(CAST(round(j * 1000000, 0) AS BIGINT))) AS BIGINT) * 1000000 + CAST((1000000 * count(*)) AS BIGINT)) // (2 * CAST((1000000 * count(*)) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS mean_jaccard
     FROM jac
     """,
 )
@@ -676,15 +677,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(j >= F.round(F.lit(1.0), 6), 1).otherwise(0))
         .cast("long")
         .alias("n_pairs_exact"),
-        F.round(F.min(j), 6).alias("min_jaccard"),
-        # round-then-cast on BOTH engines: a bare cast truncates in
-        # Spark but rounds in DuckDB, and 6-dp doubles like 0.833333
-        # scale to x.999... — the two would drift by 1 ulp per pair
-        F.round(
-            F.sum(F.round(j * 1_000_000, 0).cast("long")).cast("double")
-            / 1_000_000.0
-            / F.count("*"),
-            6,
+        # j is already an exact k/1e6 value - min needs no re-round;
+        # the mean divides the exact integer score sum via the
+        # integer-exact half-up idiom (round-5 sweep). round(x, 0) to
+        # an integer grid is tie-safe cross-engine (every half is
+        # dyadic), unlike fractional-dp rounds.
+        F.min(j).alias("min_jaccard"),
+        exact_ratio_spark(
+            "sum(CAST(round(jaccard * 1000000, 0) AS BIGINT))",
+            "1000000 * count(1)",
         ).alias("mean_jaccard"),
     )
 
@@ -766,7 +767,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.id_a, c.id_b,
            CAST(levenshtein(da.p, db.p) AS BIGINT) AS prefix_dist,
-           round(1.0 - levenshtein(da.p, db.p) / 64.0, 6) AS prefix_sim
+           (CAST((2 * CAST((64 - levenshtein(da.p, db.p)) AS BIGINT) * 1000000 + CAST((64) AS BIGINT)) // (2 * CAST((64) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS prefix_sim
     FROM cand c
     JOIN ascii_p da ON da.doc_id = c.id_a
     JOIN ascii_p db ON db.doc_id = c.id_b
@@ -813,6 +814,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             dist.cast("long").alias("prefix_dist"),
-            F.round(F.lit(1.0) - dist / F.lit(64.0), 6).alias("prefix_sim"),
+            # Integer-exact half-up (r5 sweep): 1 - d/64 as (64-d)/64.
+            exact_ratio_spark(
+                "64 - levenshtein(p_a, p_b)", "64"
+            ).alias("prefix_sim"),
         )
     )

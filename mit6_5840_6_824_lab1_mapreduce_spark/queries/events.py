@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
-from ._util import ts_str
+from ._util import det_round_spark, det_round_sql, exact_ratio_spark, exact_ratio_sql, ts_str
 from .registry import query
 
 
@@ -417,19 +417,23 @@ def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     m AS (
       SELECT event_type, n,
+             CAST(s * 100 AS BIGINT) AS s_cents,
              CAST(s AS DOUBLE) / n AS mean,
              sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
                            / (n - 1), 0)) AS sd
       FROM st WHERE n >= 2
     )
     SELECT e.event_type, any_value(m.n) AS n,
-           round(any_value(m.mean), 6) AS mean,
-           round(any_value(m.sd), 6) AS stddev,
+           {MEAN} AS mean,
+           {STDDEV} AS stddev,
            CAST(sum(CASE WHEN abs(e.value - m.mean) > 3 * m.sd THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
     FROM events e JOIN m USING (event_type)
     GROUP BY e.event_type
-    """,
+    """.replace(
+        "{MEAN}",
+        exact_ratio_sql("any_value(m.s_cents)", "100 * any_value(m.n)"),
+    ).replace("{STDDEV}", det_round_sql("any_value(m.sd)")),
 )
 def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 3σ outlier screen — the metric-anomaly first
@@ -452,6 +456,7 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = st.select(
         "event_type",
         "n",
+        (F.col("s") * 100).cast("long").alias("s_cents"),
         (F.col("s").cast("double") / F.col("n")).alias("mean"),
         # greatest(..., 0): float cancellation on a (near-)constant group
         # can push the radicand to ~-1e-6; DuckDB's sqrt raises on
@@ -470,8 +475,13 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(m), "event_type")
     return j.groupBy("event_type").agg(
         F.any_value("n").alias("n"),
-        F.round(F.any_value("mean"), 6).alias("mean"),
-        F.round(F.any_value("sd"), 6).alias("stddev"),
+        # mean: integer-exact half-up of cents/(100·n); stddev is a
+        # sqrt (irrational) — engine-identical det_round instead of
+        # the tie-divergent native round (round-5 sweep).
+        exact_ratio_spark("any_value(s_cents)", "100 * any_value(n)").alias(
+            "mean"
+        ),
+        det_round_spark("any_value(sd)").alias("stddev"),
         F.sum(
             (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")).cast("int")
         ).cast("long").alias("n_outliers"),
@@ -620,9 +630,9 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.from_action, t.to_action, t.n AS n_transitions,
            o.from_n,
-           round(CAST(t.n AS DOUBLE) / o.from_n, 6) AS p_transition
+           {P_TRANSITION} AS p_transition
     FROM trans t JOIN tot o ON t.from_action = o.from_action
-    """,
+    """.replace("{P_TRANSITION}", exact_ratio_sql("t.n", "o.from_n")),
 )
 def events_action_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user action streams:
@@ -649,9 +659,10 @@ def events_action_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_action",
         "n_transitions",
         "from_n",
-        F.round(F.col("n_transitions").cast("double") / F.col("from_n"), 6).alias(
-            "p_transition"
-        ),
+        # Integer-exact half-up (round-5 tie-class sweep): round(n/d, 6)
+        # on a double diverges cross-engine when n/d's decimal expansion
+        # ends in 5 at position 7 (e.g. denominators 640·5^t).
+        exact_ratio_spark("n_transitions", "from_n").alias("p_transition"),
     )
 
 
@@ -738,11 +749,12 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 4, 'purchase', count(*) FROM s4
     )
     SELECT step_rank, step, n_users,
-           round(CAST(n_users AS DOUBLE)
-                 / nullif(first_value(n_users) OVER (ORDER BY step_rank), 0),
-                 6) AS conversion
-    FROM counts
-    """,
+           {CONVERSION} AS conversion
+    FROM (SELECT step_rank, step, n_users,
+                 nullif(first_value(n_users) OVER (ORDER BY step_rank), 0)
+                   AS first_n
+          FROM counts)
+    """.replace("{CONVERSION}", exact_ratio_sql("n_users", "first_n")),
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch funnel: signup -> view -> click -> purchase, each
@@ -776,11 +788,11 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = row if counts is None else counts.unionByName(row)
         prev = cur
     w = Window.orderBy("step_rank")
-    return counts.withColumn(
-        "conversion",
-        F.round(
-            F.col("n_users").cast("double")
-            / F.nullif(F.first("n_users").over(w), F.lit(0)),
-            6,
-        ),
+    return (
+        counts.withColumn(
+            "first_n", F.nullif(F.first("n_users").over(w), F.lit(0))
+        )
+        # Integer-exact half-up conversion rate (round-5 tie-class sweep).
+        .withColumn("conversion", exact_ratio_spark("n_users", "first_n"))
+        .drop("first_n")
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join_backward, dedupe_latest, range_join_bucketed
 from ..plans import table
+from ._util import exact_ratio_spark, exact_ratio_sql
 from .registry import query
 
 _US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -134,10 +135,10 @@ def custkeys_1995_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_cube_stats",
     oracle=r"""
     SELECT lang, source, count(*) AS n_docs,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           {avg} AS avg_chars
     FROM documents
     GROUP BY CUBE (lang, source)
-    """,
+    """.replace("{avg}", exact_ratio_sql("sum(n_chars)", "count(*)", 4)),
 )
 def docs_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source): all four grouping sets in one pass
@@ -147,9 +148,8 @@ def docs_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.cube("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.count("*"), 4
-        ).alias("avg_chars"),
+        # Integer-exact half-up average (round-5 tie-class sweep).
+        exact_ratio_spark("sum(n_chars)", "count(1)", 4).alias("avg_chars"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import table
+from ._util import det_round_col
 from .registry import query
 
 
@@ -99,11 +100,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), astats AS (
       SELECT doc_id,
              CAST(44 + 2 * nf AS BIGINT) AS n_bytes,
-             round(1.0 + 2.0 + 8000.0 + nf
+             (CASE WHEN abs(1.0 + 2.0 + 8000.0 + nf
                    + sqrt(sum(s * s) / count(*))
                    + max(abs(s))
                    + sum(s) / CAST(count(*) AS DOUBLE)
-                   + nf / 8000.0, 6) AS feat_sum
+                   + nf / 8000.0) >= 9007199254.740992 THEN (1.0 + 2.0 + 8000.0 + nf
+                   + sqrt(sum(s * s) / count(*))
+                   + max(abs(s))
+                   + sum(s) / CAST(count(*) AS DOUBLE)
+                   + nf / 8000.0) ELSE CAST(floor((1.0 + 2.0 + 8000.0 + nf
+                   + sqrt(sum(s * s) / count(*))
+                   + max(abs(s))
+                   + sum(s) / CAST(count(*) AS DOUBLE)
+                   + nf / 8000.0) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS feat_sum
       FROM smp GROUP BY doc_id, nf
     ), img AS (
       SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
@@ -117,11 +126,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), istats AS (
       SELECT doc_id,
              CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
-             round(CAST(w AS DOUBLE) + h + 24 + w * h
+             (CASE WHEN abs(CAST(w AS DOUBLE) + h + 24 + w * h
                    + sum(r) / CAST(count(*) AS DOUBLE)
                    + sum(g) / CAST(count(*) AS DOUBLE)
                    + sum(b) / CAST(count(*) AS DOUBLE)
-                   + 54 + ((3 * w + 3) // 4) * 4 * h, 6) AS feat_sum
+                   + 54 + ((3 * w + 3) // 4) * 4 * h) >= 9007199254.740992 THEN (CAST(w AS DOUBLE) + h + 24 + w * h
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 54 + ((3 * w + 3) // 4) * 4 * h) ELSE CAST(floor((CAST(w AS DOUBLE) + h + 24 + w * h
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 54 + ((3 * w + 3) // 4) * 4 * h) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS feat_sum
       FROM ipx GROUP BY doc_id, w, h
     ), vid AS (
       SELECT doc_id, 4 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
@@ -137,11 +154,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)
                AS n_bytes,
-             round(CAST(w AS DOUBLE) + h + nf + 10
+             (CASE WHEN abs(CAST(w AS DOUBLE) + h + nf + 10
                    + sum(r) / CAST(count(*) AS DOUBLE)
                    + sum(g) / CAST(count(*) AS DOUBLE)
                    + sum(b) / CAST(count(*) AS DOUBLE)
-                   + 224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h), 6)
+                   + 224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h)) >= 9007199254.740992 THEN (CAST(w AS DOUBLE) + h + nf + 10
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h)) ELSE CAST(floor((CAST(w AS DOUBLE) + h + nf + 10
+                   + sum(r) / CAST(count(*) AS DOUBLE)
+                   + sum(g) / CAST(count(*) AS DOUBLE)
+                   + sum(b) / CAST(count(*) AS DOUBLE)
+                   + 224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END)
                AS feat_sum
       FROM vpx GROUP BY doc_id, w, h, nf
     )
@@ -179,8 +204,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    fold = F.round(
-        F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+    # det_round: the fold is a deterministic left-assoc double sum
+    # matching the oracle's written-order sum; native round(double, 6)
+    # is tie-divergent cross-engine (round-5 sweep).
+    fold = det_round_col(
+        F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x)
     ).alias("feat_sum")
     audio = audio_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
     image = image_features_df(docs).select("asset_id", "modality", "n_bytes", fold)
@@ -203,9 +231,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            2 AS sampwidth,
            8000 AS sample_rate,
            CAST(nf AS BIGINT) AS n_frames,
-           round(sqrt(sum(s * s) / count(*)), 6) AS rms,
+           (CASE WHEN abs(sqrt(sum(s * s) / count(*))) >= 9007199254.740992 THEN (sqrt(sum(s * s) / count(*))) ELSE CAST(floor((sqrt(sum(s * s) / count(*))) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS rms,
            CAST(max(abs(s)) AS DOUBLE) AS peak,
-           round(sum(s) / CAST(count(*) AS DOUBLE), 6) AS mean_amp
+           (CASE WHEN abs(sum(s) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(s) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(s) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_amp
     FROM smp GROUP BY asset_id, nf
     """,
 )
@@ -231,9 +259,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[1].cast("int").alias("sampwidth"),
         f[2].cast("int").alias("sample_rate"),
         f[3].cast("long").alias("n_frames"),
-        F.round(f[4], 6).alias("rms"),
+        det_round_col(f[4]).alias("rms"),
         f[5].alias("peak"),
-        F.round(f[6], 6).alias("mean_amp"),
+        det_round_col(f[6]).alias("mean_amp"),
     )
 
 
@@ -255,9 +283,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(h AS BIGINT) AS height,
            24 AS bpp,
            CAST(w * h AS BIGINT) AS n_pixels,
-           round(sum(r) / CAST(count(*) AS DOUBLE), 6) AS mean_r,
-           round(sum(g) / CAST(count(*) AS DOUBLE), 6) AS mean_g,
-           round(sum(b) / CAST(count(*) AS DOUBLE), 6) AS mean_b,
+           (CASE WHEN abs(sum(r) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(r) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(r) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_r,
+           (CASE WHEN abs(sum(g) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(g) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(g) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_g,
+           (CASE WHEN abs(sum(b) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(b) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(b) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_b,
            CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS file_bytes
     FROM px GROUP BY asset_id, w, h
     """,
@@ -285,9 +313,9 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[1].cast("long").alias("height"),
         f[2].cast("int").alias("bpp"),
         f[3].cast("long").alias("n_pixels"),
-        F.round(f[4], 6).alias("mean_r"),
-        F.round(f[5], 6).alias("mean_g"),
-        F.round(f[6], 6).alias("mean_b"),
+        det_round_col(f[4]).alias("mean_r"),
+        det_round_col(f[5]).alias("mean_g"),
+        det_round_col(f[6]).alias("mean_b"),
         f[7].cast("long").alias("file_bytes"),
     )
 
@@ -344,9 +372,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(h AS BIGINT) AS height,
            CAST(nf AS BIGINT) AS n_frames,
            10 AS fps,
-           round(sum(r) / CAST(count(*) AS DOUBLE), 6) AS mean_r,
-           round(sum(g) / CAST(count(*) AS DOUBLE), 6) AS mean_g,
-           round(sum(b) / CAST(count(*) AS DOUBLE), 6) AS mean_b,
+           (CASE WHEN abs(sum(r) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(r) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(r) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_r,
+           (CASE WHEN abs(sum(g) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(g) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(g) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_g,
+           (CASE WHEN abs(sum(b) / CAST(count(*) AS DOUBLE)) >= 9007199254.740992 THEN (sum(b) / CAST(count(*) AS DOUBLE)) ELSE CAST(floor((sum(b) / CAST(count(*) AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS mean_b,
            CAST(224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)
              AS file_bytes
     FROM px GROUP BY asset_id, w, h, nf
@@ -376,8 +404,8 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[1].cast("long").alias("height"),
         f[2].cast("long").alias("n_frames"),
         f[3].cast("int").alias("fps"),
-        F.round(f[4], 6).alias("mean_r"),
-        F.round(f[5], 6).alias("mean_g"),
-        F.round(f[6], 6).alias("mean_b"),
+        det_round_col(f[4]).alias("mean_r"),
+        det_round_col(f[5]).alias("mean_g"),
+        det_round_col(f[6]).alias("mean_b"),
         f[7].cast("long").alias("file_bytes"),
     )

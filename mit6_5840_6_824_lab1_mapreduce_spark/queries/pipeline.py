@@ -24,13 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup as D
-from ..operators.graph import connected_components
 from ..plans import table
 from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
+from ._util import exact_ratio_spark, exact_ratio_sql
 from .registry import REGISTRY, query
 from .text_metrics import language_frame, quality_frame
-from .dedup import lsplit_is_holdout, lsplit_is_holdout_sql
+from .dedup import _minhash_components, lsplit_is_holdout, lsplit_is_holdout_sql
 from .training import PACK_SHARDS, TOKEN_RE, pack_sequences_frame, pack_sql
 
 QUALITY_MIN = 0.40  # ≈ p10 of the corpus quality distribution
@@ -98,8 +97,10 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy(F.md5(F.col("text"))))
         .alias("keep_id"),
     )
-    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    cc = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    # Shared cluster derivation (advisor r4): the SAME helper
+    # corpus_leakage_safe_split keys on, so the MinHash threshold and
+    # CC entry point cannot drift between cluster consumers.
+    cc = _minhash_components(spark, sf_dir)
     comp = cc.select(F.col("id").alias("doc_id"), "component")
     qs = quality_frame(docs).select("doc_id", "quality_score")
     lid = language_frame(docs).select("doc_id", "pred_lang")
@@ -148,10 +149,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     + r"""
     SELECT verdict, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_quality
+           {MQ} AS mean_quality
     FROM v GROUP BY verdict
-    """,
+    """.replace("{MQ}", exact_ratio_sql(
+        "CAST(sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000 AS BIGINT)",
+        "1000000 * count(*)")),
 )
 def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline yield report: documents and bytes surviving each
@@ -167,10 +169,12 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # summation order would leak partitioning into the output
             # (quality_score is already rounded to 6dp, so the decimal
             # cast is lossless-deterministic on both engines)
-            F.round(
-                F.sum(F.col("quality_score").cast("decimal(12,6)")).cast("double")
-                / F.count("*"),
-                6,
+            # Integer-exact half-up mean over the exact decimal sum
+            # (quality_score is an exact k/1e6 value - r5 sweep).
+            exact_ratio_spark(
+                "CAST(sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000"
+                " AS BIGINT)",
+                "1000000 * count(1)",
             ).alias("mean_quality"),
         )
     )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..plans import table
+from ._util import det_round_col, det_round_sql
 from .registry import query
 
 _QUANT_SQL = r"""
@@ -29,10 +30,11 @@ _QUANT_SQL = r"""
   )
 """
 
-_COS_SQL = (
-    "round(list_sum(list_transform(range(1, len({a}.q) + 1),"
+# det_round twin of operators/similarity.cosine (round-5 tie sweep).
+_COS_SQL = det_round_sql(
+    "list_sum(list_transform(range(1, len({a}.q) + 1),"
     " i -> {a}.q[i] * {b}[i]))"
-    " / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE))), 6)"
+    " / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE)))"
 )
 
 _PLANES = S.hyperplanes()  # 8×64 constant, shared with the oracle below
@@ -396,11 +398,13 @@ def embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, pos,
-           round(sum(CAST(round(v * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6)
+           {cv}
              AS centroid_v,
            count(*) AS n_points
     FROM ex GROUP BY label, pos
-    """,
+    """.replace("{cv}", det_round_sql(
+        "CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)"
+        " / 1000000.0 / count(*)")),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, emitted as
@@ -419,8 +423,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(
-            F.round(
-                F.sum(q) / F.lit(float(S.SCALE)) / F.count("*"), 6
+            # det_round: signed numerator rules out the integer idiom
+            # (div truncates vs // floors on negatives); the double
+            # pipeline itself is deterministic (round-5 sweep).
+            det_round_col(
+                F.sum(q).cast("double") / F.lit(float(S.SCALE)) / F.count("*")
             ).alias("centroid_v"),
             F.count("*").alias("n_points"),
         )
@@ -444,11 +451,17 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            count(*) AS n_vecs,
            CAST(max(dim) AS BIGINT) AS dim,
-           round(CAST(sum(n2) AS DOUBLE) / count(*) / 1000000000000.0, 6) AS mean_norm_sq,
-           round(sqrt(CAST(min(n2) AS DOUBLE)) / 1000000.0, 6) AS min_norm,
-           round(sqrt(CAST(max(n2) AS DOUBLE)) / 1000000.0, 6) AS max_norm
+           {mns} AS mean_norm_sq,
+           {mnn} AS min_norm,
+           {mxn} AS max_norm
     FROM n GROUP BY label
-    """,
+    """.replace("{mns}", det_round_sql(
+        "CAST(sum(n2) AS DOUBLE) / count(*) / 1000000000000.0"
+    )).replace("{mnn}", det_round_sql(
+        "sqrt(CAST(min(n2) AS DOUBLE)) / 1000000.0"
+    )).replace("{mxn}", det_round_sql(
+        "sqrt(CAST(max(n2) AS DOUBLE)) / 1000000.0"
+    )),
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table QA profile per label: vector count, dimension,
@@ -465,11 +478,17 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.max("dim").cast("long").alias("dim"),
-        F.round(
-            F.sum("n2").cast("double") / F.count("*") / F.lit(1e12), 6
+        # det_round: 1e12 scale overflows the integer idiom; sqrt is
+        # irrational — the double pipeline is deterministic (r5 sweep).
+        det_round_col(
+            F.sum("n2").cast("double") / F.count("*") / F.lit(1e12)
         ).alias("mean_norm_sq"),
-        F.round(F.sqrt(F.min("n2").cast("double")) / F.lit(1e6), 6).alias("min_norm"),
-        F.round(F.sqrt(F.max("n2").cast("double")) / F.lit(1e6), 6).alias("max_norm"),
+        det_round_col(
+            F.sqrt(F.min("n2").cast("double")) / F.lit(1e6)
+        ).alias("min_norm"),
+        det_round_col(
+            F.sqrt(F.max("n2").cast("double")) / F.lit(1e6)
+        ).alias("max_norm"),
     )
 
 

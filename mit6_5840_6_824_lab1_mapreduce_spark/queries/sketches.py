@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import LETTER_SPLIT_RE
 from ..operators.dedup import gram_windows, tokens
 from ..plans import table
+from ._util import det_round_spark, det_round_sql, exact_ratio_spark, exact_ratio_sql
 from .registry import query
 
 # 60-bit uniform hash from the first 15 hex chars of md5 — the shared
@@ -108,8 +109,9 @@ _KMV_K = 64
            CAST({_KMV_K} AS INT) AS kmv_k,
            h AS kth_hash,
            CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
-                ELSE round({_KMV_K - 1}.0 * {float(_H60_MAX)!r}
-                           / CAST(h AS DOUBLE), 4)
+                ELSE {det_round_sql(
+                    f"CAST({_KMV_K - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+                    " / CAST(h AS DOUBLE)", 4)}
            END AS kmv_estimate
     FROM ranked
     WHERE rn = least({_KMV_K}, n_exact)
@@ -156,10 +158,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
         )
         .otherwise(
-            F.round(
-                F.lit(float(_KMV_K - 1))
-                * F.lit(float(_H60_MAX))
-                / F.col("h").cast("double"),
+            # det_round: the estimate is an arbitrary double quotient —
+            # native round(double, 4) is tie-divergent cross-engine
+            # (round-5 sweep).
+            det_round_spark(
+                f"CAST({_KMV_K - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+                " / CAST(h AS DOUBLE)",
                 4,
             )
         )
@@ -301,7 +305,7 @@ _HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * float(_HLL_M * _HLL_M) * float(_H
     SELECT CAST({_HLL_M} AS INT) AS m,
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(buckets_hit AS BIGINT) AS buckets_hit,
-           round({_HLL_NUM!r} / CAST(s_scaled AS DOUBLE), 4) AS hll_estimate
+           {det_round_sql(f"{_HLL_NUM!r} / CAST(s_scaled AS DOUBLE)", 4)} AS hll_estimate
     FROM agg
     """,
 )
@@ -352,8 +356,8 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HLL_M).alias("m"),
         "n_exact",
         "buckets_hit",
-        F.round(
-            F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4
+        det_round_spark(
+            f"{_HLL_NUM!r} / CAST(s_scaled AS DOUBLE)", 4
         ).alias("hll_estimate"),
     )
 
@@ -383,7 +387,7 @@ _COVERAGE_PCTS = (50, 90, 95, 99)
     {" UNION ALL ".join(
         f"SELECT CAST({p} AS INT) AS coverage_pct, CAST(v{p} AS BIGINT) AS vocab_size, "
         f"CAST(c{p} AS BIGINT) AS tokens_covered, CAST(total AS BIGINT) AS total_tokens, "
-        f"round(CAST(c{p} AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage FROM marks"
+        f"{exact_ratio_sql(f'c{p}', 'total')} AS coverage FROM marks"
         for p in _COVERAGE_PCTS)}
     """,
 )
@@ -441,9 +445,8 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         "tokens_covered",
         "total_tokens",
-        F.round(F.col("tokens_covered").cast("double") / F.col("total_tokens"), 6).alias(
-            "coverage"
-        ),
+        # Integer-exact half-up ratio (round-5 tie-class sweep).
+        exact_ratio_spark("tokens_covered", "total_tokens").alias("coverage"),
     )
 
 
@@ -478,8 +481,9 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.h AS kth_hash_merged,
            d.h AS kth_hash_direct,
            m.h = d.h AS merged_equals_direct,
-           round({_KMV_K - 1}.0 * {float(_H60_MAX)!r}
-                 / CAST(m.h AS DOUBLE), 4) AS kmv_estimate
+           {det_round_sql(
+               f"CAST({_KMV_K - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+               " / CAST(m.h AS DOUBLE)", 4)} AS kmv_estimate
     FROM merged m, direct d, exact e
     """,
 )
@@ -536,10 +540,9 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kth_hash_merged") == F.col("kth_hash_direct")).alias(
                 "merged_equals_direct"
             ),
-            F.round(
-                F.lit(float(_KMV_K - 1))
-                * F.lit(float(_H60_MAX))
-                / F.col("kth_hash_merged").cast("double"),
+            det_round_spark(
+                f"CAST({_KMV_K - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+                " / CAST(kth_hash_merged AS DOUBLE)",
                 4,
             ).alias("kmv_estimate"),
         )
@@ -547,6 +550,13 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JK_K = 64
+# Raw (unrounded) KMV union estimate — shared verbatim by union_est and
+# inter_est on BOTH engines so the deterministic-double argument holds.
+_JK_U_SQL = (
+    f"CASE WHEN m < {_JK_K} THEN CAST(m AS DOUBLE)"
+    f" ELSE CAST({_JK_K - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+    f" / CAST(kth_hash AS DOUBLE) END"
+)
 
 
 @query(
@@ -579,14 +589,9 @@ _JK_K = 64
     )
     SELECT CAST({_JK_K} AS BIGINT) AS kmv_k,
            kth_hash, m AS m_merged, c AS n_both, n_true,
-           round(CASE WHEN m < {_JK_K} THEN CAST(m AS DOUBLE)
-                      ELSE {_JK_K - 1}.0 * {float(_H60_MAX)!r}
-                           / CAST(kth_hash AS DOUBLE) END, 4) AS union_est,
-           round(CAST(c AS DOUBLE) / m, 6) AS jaccard_est,
-           round((CAST(c AS DOUBLE) / m)
-                 * (CASE WHEN m < {_JK_K} THEN CAST(m AS DOUBLE)
-                         ELSE {_JK_K - 1}.0 * {float(_H60_MAX)!r}
-                              / CAST(kth_hash AS DOUBLE) END), 4) AS inter_est
+           {det_round_sql(_JK_U_SQL, 4)} AS union_est,
+           {exact_ratio_sql('c', 'm')} AS jaccard_est,
+           {det_round_sql(f"(CAST(c AS DOUBLE) / m) * ({_JK_U_SQL})", 4)} AS inter_est
     FROM mstat, istat, tstat
     """,
 )
@@ -639,21 +644,25 @@ def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_true"))
     )
     row = mstat.crossJoin(F.broadcast(nboth)).crossJoin(F.broadcast(tru))
-    u_est = F.when(
-        F.col("m_merged") < k, F.col("m_merged").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(_H60_MAX)) / F.col("kth_hash").cast("double")
+    # Shared raw union expression (m_merged/kth_hash column names here);
+    # tie-proof finishers: det_round for the double estimates,
+    # integer-exact half-up for the Jaccard ratio (round-5 sweep).
+    u_raw = (
+        f"CASE WHEN m_merged < {k} THEN CAST(m_merged AS DOUBLE)"
+        f" ELSE CAST({k - 1} AS DOUBLE) * {float(_H60_MAX)!r}"
+        f" / CAST(kth_hash AS DOUBLE) END"
     )
-    j_est = F.col("n_both").cast("double") / F.col("m_merged")
     return row.select(
         F.lit(k).cast("long").alias("kmv_k"),
         "kth_hash",
         "m_merged",
         "n_both",
         "n_true",
-        F.round(u_est, 4).alias("union_est"),
-        F.round(j_est, 6).alias("jaccard_est"),
-        F.round(j_est * u_est, 4).alias("inter_est"),
+        det_round_spark(u_raw, 4).alias("union_est"),
+        exact_ratio_spark("n_both", "m_merged").alias("jaccard_est"),
+        det_round_spark(
+            f"(CAST(n_both AS DOUBLE) / m_merged) * ({u_raw})", 4
+        ).alias("inter_est"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..plans import table
+from ._util import exact_ratio_spark, exact_ratio_sql
 from .registry import query
 
 _STOP = {
@@ -52,6 +53,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality_score = 0.4*least(w,100)/100 + 0.3*(1 - p/c) + 0.3*(st/w) as ONE
+# exact rational over the common denominator 1000*c*w (round-5 sweep):
+# num = 4*L*c*w + 300*c*w - 300*p*w + 300*st*c  (>= 0 since p <= c).
+# int64 headroom: docs up to ~10^5 chars keep 2*num*10^6 < 2^63.
+_QSCORE_NUM = (
+    "4 * least(n_words, 100) * n_chars * n_words"
+    " + 300 * n_chars * n_words - 300 * punct_chars * n_words"
+    " + 300 * n_stop * n_chars"
+)
+_QSCORE_DEN = "1000 * n_chars * n_words"
+
+
 @query(
     "text_quality_score",
     oracle=rf"""
@@ -67,13 +80,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars, n_words,
-           round(punct_chars * 1.0 / n_chars, 6) AS punct_ratio,
-           round(digit_chars * 1.0 / n_chars, 6) AS digit_ratio,
-           round(n_stop * 1.0 / n_words, 6) AS stop_ratio,
-           round(alpha_chars * 1.0 / n_words, 6) AS mean_word_len,
-           round(0.4 * least(n_words, 100) / 100.0
-                 + 0.3 * (1.0 - punct_chars * 1.0 / n_chars)
-                 + 0.3 * (n_stop * 1.0 / n_words), 6) AS quality_score
+           {exact_ratio_sql('punct_chars', 'n_chars')} AS punct_ratio,
+           {exact_ratio_sql('digit_chars', 'n_chars')} AS digit_ratio,
+           {exact_ratio_sql('n_stop', 'n_words')} AS stop_ratio,
+           {exact_ratio_sql('alpha_chars', 'n_words')} AS mean_word_len,
+           {exact_ratio_sql(_QSCORE_NUM, _QSCORE_DEN)} AS quality_score
     FROM m
     """,
 )
@@ -101,20 +112,17 @@ def quality_frame(d: DataFrame) -> DataFrame:
         F.size(words).cast("long").alias("n_words"),
         F.size(F.filter(words, lambda t: t.isin(*_STOP["en"]))).cast("long").alias("n_stop"),
     )
+    # Integer-exact half-up ratios (round-5 tie-class sweep): native
+    # round(double, 6) diverges cross-engine on decimal-tie quotients.
     return m.select(
         "doc_id",
         "n_chars",
         "n_words",
-        F.round(F.col("punct_chars") / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(F.col("digit_chars") / F.col("n_chars"), 6).alias("digit_ratio"),
-        F.round(F.col("n_stop") / F.col("n_words"), 6).alias("stop_ratio"),
-        F.round(F.col("alpha_chars") / F.col("n_words"), 6).alias("mean_word_len"),
-        F.round(
-            0.4 * F.least(F.col("n_words"), F.lit(100)) / 100.0
-            + 0.3 * (1.0 - F.col("punct_chars") / F.col("n_chars"))
-            + 0.3 * (F.col("n_stop") / F.col("n_words")),
-            6,
-        ).alias("quality_score"),
+        exact_ratio_spark("punct_chars", "n_chars").alias("punct_ratio"),
+        exact_ratio_spark("digit_chars", "n_chars").alias("digit_ratio"),
+        exact_ratio_spark("n_stop", "n_words").alias("stop_ratio"),
+        exact_ratio_spark("alpha_chars", "n_words").alias("mean_word_len"),
+        exact_ratio_spark(_QSCORE_NUM, _QSCORE_DEN).alias("quality_score"),
     )
 
 
@@ -339,13 +347,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT a.doc_id, a.n_words, a.n_distinct_words,
-           round(1.0 - a.n_distinct_words * 1.0 / a.n_words, 6) AS dup_word_ratio,
-           round(a.top_cnt * 1.0 / a.n_words, 6) AS top_word_share,
+           {dwr} AS dup_word_ratio,
+           {tws} AS top_word_share,
            CASE WHEN len(b.bgs) >= 1
-                THEN round(1.0 - len(list_distinct(b.bgs)) * 1.0 / len(b.bgs), 6)
+                THEN {dbr}
                 ELSE NULL END AS dup_bigram_ratio
     FROM agg a JOIN bg b USING (doc_id)
-    """,
+    """.replace(
+        "{dwr}", exact_ratio_sql("a.n_words - a.n_distinct_words", "a.n_words")
+    ).replace(
+        "{tws}", exact_ratio_sql("a.top_cnt", "a.n_words")
+    ).replace(
+        "{dbr}",
+        exact_ratio_sql("len(b.bgs) - len(list_distinct(b.bgs))", "len(b.bgs)"),
+    ),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
@@ -376,14 +391,16 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_words",
             "n_distinct_words",
-            F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
-                "dup_word_ratio"
-            ),
-            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_share"),
+            # Integer-exact half-up (round-5 sweep): 1 - d/n restated
+            # as (n - d)/n so the rational stays integer/integer.
+            exact_ratio_spark(
+                "n_words - n_distinct_words", "n_words"
+            ).alias("dup_word_ratio"),
+            exact_ratio_spark("top_cnt", "n_words").alias("top_word_share"),
             F.when(
                 F.size("bgs") >= 1,
-                F.round(
-                    1.0 - F.size(F.array_distinct("bgs")) / F.size("bgs"), 6
+                exact_ratio_spark(
+                    "size(bgs) - size(array_distinct(bgs))", "size(bgs)"
                 ),
             ).alias("dup_bigram_ratio"),
         )
@@ -401,9 +418,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     )
     SELECT source, n_docs, total_words,
-           round(total_words * 1.0 / sum(total_words) OVER (), 6) AS word_share
-    FROM t
-    """,
+           {ws} AS word_share
+    FROM (SELECT source, n_docs, total_words,
+                 sum(total_words) OVER () AS tw FROM t)
+    """.replace("{ws}", exact_ratio_sql("total_words", "tw")),
 )
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture table: per-source document and word-token
@@ -418,14 +436,14 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_words"),
     )
-    return t.select(
+    return t.withColumn(
+        "tw", F.sum("total_words").over(Window.partitionBy())
+    ).select(
         "source",
         "n_docs",
         "total_words",
-        F.round(
-            F.col("total_words") / F.sum("total_words").over(Window.partitionBy()),
-            6,
-        ).alias("word_share"),
+        # Integer-exact half-up share (round-5 tie-class sweep).
+        exact_ratio_spark("total_words", "tw").alias("word_share"),
     )
 
 
@@ -509,7 +527,7 @@ BOILERPLATE_MIN_DF = 5
     SELECT id AS doc_id,
            count(*) AS n_grams,
            CAST(sum(common) AS BIGINT) AS n_common_grams,
-           round(CAST(sum(common) AS BIGINT) * 1.0 / count(*), 6)
+           {exact_ratio_sql('sum(common)', 'count(*)')}
              AS boilerplate_fraction
     FROM marked GROUP BY id
     """,
@@ -536,7 +554,8 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy(F.col("id").alias("doc_id")).agg(
         F.count("*").alias("n_grams"),
         F.sum("common").cast("long").alias("n_common_grams"),
-        F.round(F.sum("common").cast("long") / F.count("*"), 6).alias(
+        # Integer-exact half-up ratio (round-5 tie-class sweep).
+        exact_ratio_spark("sum(common)", "count(1)").alias(
             "boilerplate_fraction"
         ),
     )
@@ -707,10 +726,10 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p
     )
     SELECT w1, w2, pair_n, w1_n,
-           round(CAST(pair_n AS DOUBLE) / w1_n, 6) AS cond_p,
+           {cond_p} AS cond_p,
            CAST(rk AS INT) AS rk
     FROM t WHERE rk <= 100
-    """,
+    """.replace("{cond_p}", exact_ratio_sql("pair_n", "w1_n")),
 )
 def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 word bigrams with left-context totals and conditional
@@ -744,7 +763,7 @@ def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w2",
         "pair_n",
         "w1_n",
-        F.round(F.col("pair_n").cast("double") / F.col("w1_n"), 6).alias("cond_p"),
+        exact_ratio_spark("pair_n", "w1_n").alias("cond_p"),
         F.row_number().over(rk).alias("rk"),
     )
 
@@ -763,18 +782,20 @@ def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE CAST([] AS VARCHAR[]) END) AS gram
       FROM toks
     ),
-    cg AS (SELECT gram, count(*) AS n FROM dg GROUP BY gram)
-    SELECT doc_id,
-           count(*) AS n_bigrams,
-           CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-           round(CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS novelty,
-           round(CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) > 0.3 AS too_novel
-    FROM dg JOIN cg USING (gram)
-    GROUP BY doc_id
-    """,
+    cg AS (SELECT gram, count(*) AS n FROM dg GROUP BY gram),
+    a AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM dg JOIN cg USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare, n_hapax,
+           {novelty} AS novelty,
+           {novelty} > 0.3 AS too_novel
+    FROM a
+    """.replace("{novelty}", exact_ratio_sql("n_rare", "n_bigrams")),
 )
 def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality gate without a float log-sum: per
@@ -802,14 +823,22 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cg = dg.groupBy("gram").agg(F.count("*").alias("n"))
     rare = F.sum(F.when(F.col("n") < 3, 1).otherwise(0))
-    novelty = F.round(rare.cast("double") / F.count("*"), 6)
+    # novelty as the integer-exact half-up ratio; too_novel compares the
+    # SAME emitted (exact, engine-identical) value on both engines.
+    novelty = exact_ratio_spark("n_rare", "n_bigrams")
     return (
         dg.join(cg, "gram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            rare.alias("n_rare"),
+            rare.cast("long").alias("n_rare"),
             F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            "n_hapax",
             novelty.alias("novelty"),
             (novelty > 0.3).alias("too_novel"),
         )
@@ -842,9 +871,9 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, gram_n,
            CAST(sum(cnt) AS BIGINT) AS total_grams,
            CAST(count(*) AS BIGINT) AS distinct_grams,
-           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS diversity
+           {diversity} AS diversity
     FROM per GROUP BY 1, 2
-    """,
+    """.replace("{diversity}", exact_ratio_sql("count(*)", "sum(cnt)")),
 )
 def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n diversity (the self-BLEU stand-in production data
@@ -880,5 +909,5 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("source", "gram_n").agg(
         F.sum("cnt").alias("total_grams"),
         F.count("*").alias("distinct_grams"),
-        F.round(F.count("*").cast("double") / F.sum("cnt"), 6).alias("diversity"),
+        exact_ratio_spark("count(1)", "sum(cnt)").alias("diversity"),
     )

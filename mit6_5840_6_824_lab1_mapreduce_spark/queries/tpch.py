@@ -31,9 +31,9 @@ from .registry import query
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           (CASE WHEN abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_qty,
+           (CASE WHEN abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_price,
+           (CASE WHEN abs(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'

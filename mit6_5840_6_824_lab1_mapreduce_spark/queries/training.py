@@ -28,7 +28,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
+from ._util import det_round_col, det_round_sql, exact_ratio_spark, exact_ratio_sql
 from .registry import query
+
+# Placeholders spliced into f-string oracles below (literal {X} fields
+# would be eagerly f-evaluated).
+_TRATE_PH = "__TRATE_EXPR__"
+_WGT_PH = "__WGT_EXPR__"
+_NSHARE_PH = "__NSHARE_EXPR__"
+_TSHARE_PH = "__TSHARE_EXPR__"
+_EPOCHS_PH = "__EPOCHS_EXPR__"
 
 # Tokens per packed training sequence (a toy stand-in for 2048/4096;
 # the math is budget-independent) and shard fan-out for parallel
@@ -148,11 +157,11 @@ SAMPLE_ALPHA = 0.5
                   THEN 1 ELSE 0 END AS keep
       FROM documents d JOIN p USING (source)
     )
-    SELECT p.source, p.n_docs, round(p.target_rate, 6) AS target_rate,
+    SELECT p.source, p.n_docs, {_TRATE_PH} AS target_rate,
            CAST(sum(k.keep) AS BIGINT) AS n_kept
     FROM kept k JOIN p USING (source)
     GROUP BY p.source, p.n_docs, p.target_rate
-    """,
+    """.replace(_TRATE_PH, det_round_sql("p.target_rate")),
 )
 def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source sampling: per-source keep rate
@@ -188,9 +197,11 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.join(F.broadcast(p), "source").select(
         "source", "n_docs", "target_rate", (u < F.col("target_rate")).cast("int").alias("keep")
     )
-    return kept.groupBy("source", "n_docs", F.round("target_rate", 6).alias("target_rate")).agg(
-        F.sum("keep").cast("long").alias("n_kept")
-    )
+    # det_round of the sqrt rate (irrational; native round(double, 6)
+    # is tie-divergent cross-engine - round-5 sweep).
+    return kept.groupBy(
+        "source", "n_docs", det_round_col(F.col("target_rate")).alias("target_rate")
+    ).agg(F.sum("keep").cast("long").alias("n_kept"))
 
 
 # Non-overlapping passage block size (tokens). Exact block-hash
@@ -390,22 +401,25 @@ MIX_BUDGET_TOKENS = 1_000_000
     ),
     w AS (
       SELECT *,
-             CAST(round(sqrt(total_tokens), 6) AS DECIMAL(28,6)) AS wgt
+             CAST({_WGT_PH} AS DECIMAL(28,6)) AS wgt
       FROM s
     ),
     t AS (
       SELECT *, CAST(wgt AS DOUBLE) / CAST(sum(wgt) OVER () AS DOUBLE)
-                  AS target_share
+                  AS target_share,
+             sum(total_tokens) OVER () AS tt
       FROM w
     )
     SELECT source, n_docs, total_tokens,
-           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6)
-             AS natural_share,
-           round(target_share, 6) AS target_share,
-           round(target_share * {MIX_BUDGET_TOKENS} / total_tokens, 6)
-             AS epochs
+           {_NSHARE_PH} AS natural_share,
+           {_TSHARE_PH} AS target_share,
+           {_EPOCHS_PH} AS epochs
     FROM t
-    """,
+    """.replace(_WGT_PH, det_round_sql("sqrt(CAST(total_tokens AS DOUBLE))")
+    ).replace(_NSHARE_PH, exact_ratio_sql("total_tokens", "tt")
+    ).replace(_TSHARE_PH, det_round_sql("target_share")
+    ).replace(_EPOCHS_PH, det_round_sql(
+        f"target_share * {MIX_BUDGET_TOKENS} / total_tokens")),
 )
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture table a training run is configured from: per
@@ -427,15 +441,21 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weights are sqrt (IEEE-exact cross-engine, = tokens^ALPHA for
     # ALPHA=0.5) rounded to 6dp and summed as EXACT decimals — a raw
     # double window-sum would make target_share depend on row order
-    wgt = F.round(F.sqrt("total_tokens"), 6).cast("decimal(28,6)")
+    # det_round everywhere a sqrt-derived double is finished, and the
+    # integer-exact idiom for the pure-integer natural share (r5 sweep).
+    wgt = det_round_col(F.sqrt(F.col("total_tokens").cast("double"))).cast(
+        "decimal(28,6)"
+    )
     target = wgt.cast("double") / F.sum(wgt).over(wall).cast("double")
-    return s.select(
+    return s.withColumn(
+        "tt", F.sum("total_tokens").over(wall)
+    ).select(
         "source",
         "n_docs",
         "total_tokens",
-        F.round(F.col("total_tokens") / F.sum("total_tokens").over(wall), 6).alias(
-            "natural_share"
-        ),
-        F.round(target, 6).alias("target_share"),
-        F.round(target * MIX_BUDGET_TOKENS / F.col("total_tokens"), 6).alias("epochs"),
+        exact_ratio_spark("total_tokens", "tt").alias("natural_share"),
+        det_round_col(target).alias("target_share"),
+        det_round_col(
+            target * MIX_BUDGET_TOKENS / F.col("total_tokens")
+        ).alias("epochs"),
     )

@@ -83,6 +83,15 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+def _det_round(x: float, dp: int) -> float:
+    """Python restatement of _util.det_round_*: explicit
+    floor(x*10^dp + 0.5)/10^dp in IEEE double arithmetic."""
+    s = float(10 ** dp)
+    if abs(x) >= float(2 ** 53) / s:
+        return x
+    return math.floor(x * s + 0.5) / s
+
+
 def _ref_join_estimate(a_keys, b_keys, k=64):
     ah = sorted({_h60(f"jk:{x}") for x in a_keys})[:k]
     bh = sorted({_h60(f"jk:{x}") for x in b_keys})[:k]
@@ -91,16 +100,20 @@ def _ref_join_estimate(a_keys, b_keys, k=64):
     kth = max(mk)
     c = sum(1 for h in mk if h in set(ah) and h in set(bh))
     n_true = len(set(a_keys) & set(b_keys))
-    u = m if m < k else (k - 1) * float(1 << 60) / kth
-    j = c / m
-    return dict(kth_hash=kth, m_merged=m, n_both=c, n_true=n_true,
-                union_est=u, jaccard_est=j, inter_est=j * u)
+    u = float(m) if m < k else float(k - 1) * float(1 << 60) / float(kth)
+    return dict(
+        kth_hash=kth, m_merged=m, n_both=c, n_true=n_true,
+        union_est=_det_round(u, 4),
+        # Integer-exact half-up of c/m at 6 decimals (exact_ratio idiom).
+        jaccard_est=((2 * c * 10**6 + m) // (2 * m)) / 10**6,
+        inter_est=_det_round((c / m) * u, 4),
+    )
 
 
 _keys = st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=80)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_keys, _keys)
 def test_join_estimate_matches_python_and_oracle(
@@ -117,6 +130,9 @@ def test_join_estimate_matches_python_and_oracle(
     assert r.m_merged == ref["m_merged"]
     assert r.n_both == ref["n_both"]
     assert r.n_true == ref["n_true"]
-    assert math.isclose(r.union_est, ref["union_est"], rel_tol=1e-6)
-    assert math.isclose(r.jaccard_est, ref["jaccard_est"], abs_tol=1e-6)
-    assert math.isclose(r.inter_est, ref["inter_est"], rel_tol=1e-6, abs_tol=1e-4)
+    # Exact: the engine expressions are deterministic doubles /
+    # integer-exact ratios, and the Python reference replays the same
+    # IEEE ops (round-5 tie-class sweep).
+    assert r.union_est == ref["union_est"]
+    assert r.jaccard_est == ref["jaccard_est"]
+    assert r.inter_est == ref["inter_est"]
