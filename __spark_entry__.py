@@ -37,6 +37,13 @@ _PINNED_KV = [
     "kv_duplicate_suppression",
     "kv_client_stats",
 ]
+# Pin-release valve (round-5): a pinned KV row that was confirmed in
+# the most recent round must not crowd out a query whose last
+# confirmation is >= 2 rounds older — release pins (latest-listed
+# first) down to this floor until every such stale row is seated.
+# The two Get/Put-surface rows (kv_final_state, kv_get_at_seq) are
+# never released.
+_PIN_FLOOR = 2
 
 
 def _last_checked_round() -> dict[str, int]:
@@ -60,13 +67,26 @@ def _last_checked_round() -> dict[str, int]:
 
 def _ordered_names() -> list[str]:
     last = _last_checked_round()
+    max_round = max(last.values(), default=0)
     pinned = [n for n in _PINNED_KV if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in pinned]
     # Stable sort: never-checked (round 0) lead, then ascending
     # last-confirmed round; registration order breaks ties.
     rest.sort(key=lambda n: last.get(n, 0))
     seats = max(0, WINDOW - len(pinned))
-    return rest[:seats] + pinned + rest[seats:]
+    # Pin-release valve: while the first unseated row is >= 2 rounds
+    # stale (or never checked) and a fresh pinned row holds a seat it
+    # doesn't need this round, hand the seat over.
+    released: list[str] = []
+    while (
+        len(pinned) > _PIN_FLOOR
+        and len(rest) > seats
+        and last.get(rest[seats], 0) <= max_round - 2
+        and last.get(pinned[-1], 0) >= max_round
+    ):
+        released.append(pinned.pop())
+        seats = max(0, WINDOW - len(pinned))
+    return rest[:seats] + pinned + released + rest[seats:]
 
 
 # Materialized once at import: the first WINDOW entries are the seats

@@ -82,3 +82,30 @@ def test_window_prefers_oldest_confirmation():
         "a row with a fresher driver confirmation is seated while an "
         "older one waits outside the window"
     )
+
+
+def test_pin_release_valve_seats_stale_rows():
+    """A pinned KV row confirmed in the most recent round must not
+    crowd out a row whose confirmation is >= 2 rounds older (round-5
+    verdict item 3): after the valve, no unseated query may be >= 2
+    rounds staler than the freshest pinned row still holding a seat —
+    unless the pin floor (the Get/Put core) is the binding constraint."""
+    last = entry._last_checked_round()
+    if not last:
+        return
+    max_round = max(last.values())
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    pinned_in = [n for n in entry._PINNED_KV if n in window]
+    assert len(pinned_in) >= entry._PIN_FLOOR
+    assert "kv_final_state" in window and "kv_get_at_seq" in window
+    stale_out = [
+        n for n in names[WINDOW:]
+        if n not in entry._PINNED_KV and last.get(n, 0) <= max_round - 2
+    ]
+    if stale_out:
+        # valve exhausted: only the pin floor may still hold seats a
+        # stale row could use
+        assert len(pinned_in) == entry._PIN_FLOOR, (
+            f"stale rows unseated while releasable pins remain: {stale_out}"
+        )
