@@ -149,16 +149,22 @@ def main() -> None:
         full.update(_time_queries([n for n in REGISTRY if n not in timings]))
 
     total = round(sum(timings.values()), 3)
-    record = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    # Key ORDER matters: the driver's BENCH artifact keeps only a
+    # 2000-char TAIL of this line (round-4 verdict: the headline number
+    # was swallowed by the full-suite dict). Emit the big per-query
+    # dicts FIRST and every scalar summary LAST so the tail always
+    # carries metric/value/headline_suite_seconds parseable.
+    record: dict = {}
     if len(full) > len(timings):
         record["full_suite"] = full
+    record["queries"] = timings
+    record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    record["unit"] = "sec"
+    if len(full) > len(timings):
         record["full_suite_seconds"] = round(sum(full.values()), 3)
+    record["metric"] = "headline_suite_seconds"
+    record["headline_suite_seconds"] = total
+    record["value"] = total
     print(json.dumps(record))
     spark.stop()
 

@@ -121,8 +121,14 @@ def test_stream_matches_sequential_batches(spark, tmp_path):
     }
 
 
-def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
-    """Stop the query after the first micro-batch, restart against
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("trial", range(3))
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path, trial):
+    """3 trials (test-mr-many.sh restatement, round-5 item 7): the
+    checkpoint-recovery race is timing-sensitive.
+    Stop the query after the first micro-batch, restart against
     the same checkpoint with more files present: the restarted query
     must process only the remaining batches and converge to the same
     state as an uninterrupted run."""

@@ -29,7 +29,15 @@ def test_components_chain_clique_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
-def test_components_long_chain_converges(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("trial", range(3))
+def test_components_long_chain_converges(spark, trial):
+    """3 trials (the reference loops its whole suite,
+    test-mr-many.sh:15-22): CC convergence is the next most race-prone
+    path after speculation/checkpoint-resume — the loop pins the
+    lineage-truncated iteration against scheduling nondeterminism."""
     n = 20
     verts = spark.createDataFrame([Row(id=i) for i in range(n)])
     edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
