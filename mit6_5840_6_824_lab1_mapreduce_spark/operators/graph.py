@@ -58,7 +58,24 @@ def connected_components(
     # iteration (labels appears twice per round) and planning itself
     # OOMs after ~15 rounds. Checkpointed partitions live on the
     # executors; the driver only ever sees the scalar `changed` count.
-    labels = active.select("id", F.col("id").alias("component")).localCheckpoint()
+    #
+    # Round 1 is FUSED into initialization: with identity labels the
+    # first propagate's join degenerates to min(src) per dst, so pay
+    # one aggregate here and skip a full join+checkpoint+count round
+    # trip (round-5 perf item — one fewer iteration on every call).
+    nbr0 = adj.groupBy(F.col("dst").alias("id")).agg(
+        F.min("src").alias("nbr_component")
+    )
+    labels = (
+        active.join(nbr0, "id", "left")
+        .select(
+            "id",
+            F.least(
+                F.col("id"), F.coalesce("nbr_component", F.col("id"))
+            ).alias("component"),
+        )
+        .localCheckpoint()
+    )
 
     def propagate(lbl: DataFrame) -> DataFrame:
         """One min-label step: (id, component, _chg)."""

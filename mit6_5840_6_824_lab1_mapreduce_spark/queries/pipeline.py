@@ -90,9 +90,21 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_dup > near_dup > low_quality > lang; `component` is the
     near-dup cluster id the leakage-safe split keys on."""
     docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
+    # ONE corpus scan for every per-document annotation (round-5
+    # fusion): language and quality are stateless frame transforms
+    # chained via keep-columns, and the exact-dup keeper window rides
+    # the same projected frame — previously three separate scans of
+    # `documents` joined back on doc_id (two joins and two text
+    # re-parses that dominate at 100 TB).
+    ann = quality_frame(
+        language_frame(docs, keep=("text", "n_chars")),
+        keep=("pred_lang", "text"),
+    )
+    hashed = ann.select(
         "doc_id",
         "n_chars",
+        "quality_score",
+        "pred_lang",
         F.min("doc_id")
         .over(Window.partitionBy(F.md5(F.col("text"))))
         .alias("keep_id"),
@@ -102,12 +114,8 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CC entry point cannot drift between cluster consumers.
     cc = _minhash_components(spark, sf_dir)
     comp = cc.select(F.col("id").alias("doc_id"), "component")
-    qs = quality_frame(docs).select("doc_id", "quality_score")
-    lid = language_frame(docs).select("doc_id", "pred_lang")
     return (
         hashed.join(comp, "doc_id")
-        .join(qs, "doc_id")
-        .join(lid, "doc_id")
         .select(
             "doc_id",
             "component",

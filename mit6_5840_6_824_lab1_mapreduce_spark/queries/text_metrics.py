@@ -95,10 +95,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(table(spark, sf_dir, "documents"))
 
 
-def quality_frame(d: DataFrame) -> DataFrame:
+def quality_frame(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Quality metrics as a frame transform — stateless projections,
     so it applies unchanged to a streaming DataFrame (the pipeline's
-    quality stage is streaming-safe by construction)."""
+    quality stage is streaming-safe by construction). ``keep`` names
+    extra input columns to carry through unchanged, letting callers
+    CHAIN stateless frames over one corpus scan instead of joining
+    per-frame outputs (the round-5 pipeline fusion)."""
     strip = lambda pat: F.length("text") - F.length(  # noqa: E731
         F.regexp_replace("text", pat, "")
     )
@@ -111,6 +114,7 @@ def quality_frame(d: DataFrame) -> DataFrame:
         strip(r"[^\p{L}\p{N} \t\n]").alias("punct_chars"),
         F.size(words).cast("long").alias("n_words"),
         F.size(F.filter(words, lambda t: t.isin(*_STOP["en"]))).cast("long").alias("n_stop"),
+        *[F.col(k) for k in keep if k not in ("doc_id", "n_chars")],
     )
     # Integer-exact half-up ratios (round-5 tie-class sweep): native
     # round(double, 6) diverges cross-engine on decimal-tie quotients.
@@ -123,6 +127,7 @@ def quality_frame(d: DataFrame) -> DataFrame:
         exact_ratio_spark("n_stop", "n_words").alias("stop_ratio"),
         exact_ratio_spark("alpha_chars", "n_words").alias("mean_word_len"),
         exact_ratio_spark(_QSCORE_NUM, _QSCORE_DEN).alias("quality_score"),
+        *[F.col(k) for k in keep if k not in ("doc_id", "n_chars")],
     )
 
 
@@ -159,9 +164,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_frame(table(spark, sf_dir, "documents"))
 
 
-def language_frame(d: DataFrame) -> DataFrame:
+def language_frame(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Language ID as a frame transform — stateless, streaming-safe
-    (see quality_frame)."""
+    (see quality_frame; ``keep`` carries extra columns through for
+    one-scan chaining)."""
     words = F.regexp_extract_all("text", F.lit(r"[\p{L}]+"), 0)
     score = lambda lang: F.size(  # noqa: E731
         F.filter(words, lambda t: t.isin(*_STOP[lang]))
@@ -173,6 +179,7 @@ def language_frame(d: DataFrame) -> DataFrame:
         score("de").alias("s_de"),
         score("es").alias("s_es"),
         score("fr").alias("s_fr"),
+        *[F.col(k) for k in keep if k != "doc_id"],
     )
     return sc.select(
         "doc_id",
@@ -183,6 +190,7 @@ def language_frame(d: DataFrame) -> DataFrame:
         .otherwise("fr")
         .alias("pred_lang"),
         "true_lang",
+        *[F.col(k) for k in keep if k != "doc_id"],
     )
 
 
