@@ -62,13 +62,18 @@ def exact_ratio_spark(num: str, den: str, dp: int = 6) -> Column:
     division by 10^dp are both exact/correctly-rounded IEEE ops, so
     the emitted double is bit-identical cross-engine.
 
-    Contract: num ≥ 0, den > 0, both integral SQL expressions;
-    int64 headroom requires num < 4.6×10^18 / 10^dp (dp=6: num below
-    ~4.6×10^12 — fine for counts; promote to DECIMAL beyond)."""
+    Contract: num ≥ 0, den ≥ 0, both integral SQL expressions; a zero
+    (or NULL) denominator yields NULL on BOTH engines — the divisor is
+    nullif-guarded because Spark runs ANSI mode by default and `div`
+    by zero would THROW, while DuckDB `//` returns NULL (found by the
+    round-5 random-corpus battery on an empty document). int64
+    headroom requires num < 4.6×10^18 / 10^dp (dp=6: num below
+    ~4.6×10^12 — fine for counts; promote to DECIMAL beyond — ANSI
+    makes an overflow loud, not silently wrong)."""
     s = 10 ** dp
     return F.expr(
         f"CAST((2 * CAST(({num}) AS BIGINT) * {s}L + CAST(({den}) AS BIGINT))"
-        f" div (2 * CAST(({den}) AS BIGINT)) AS DOUBLE)"
+        f" div (2 * nullif(CAST(({den}) AS BIGINT), 0)) AS DOUBLE)"
         f" / CAST({s} AS DOUBLE)"
     )
 
@@ -80,7 +85,7 @@ def exact_ratio_sql(num: str, den: str, dp: int = 6) -> str:
     s = 10 ** dp
     return (
         f"(CAST((2 * CAST(({num}) AS BIGINT) * {s} + CAST(({den}) AS BIGINT))"
-        f" // (2 * CAST(({den}) AS BIGINT)) AS DOUBLE)"
+        f" // (2 * nullif(CAST(({den}) AS BIGINT), 0)) AS DOUBLE)"
         f" / CAST({s} AS DOUBLE))"
     )
 
