@@ -8,7 +8,7 @@ shuffle — a lost map-side combine, a join that stopped broadcasting,
 a distinct that no longer rides an existing partitioning — fails here
 long before it shows up as a bench regression at scale.
 
-Budgets are measured ceilings (current count + small slack for
+Budgets are measured ceilings (round-5 re-measured: count + 1 slack for
 AQE/broadcast-threshold variation at smoke scale), not aspirations:
 tightening one is a deliberate optimization, loosening one must be a
 reviewed decision.
@@ -35,21 +35,21 @@ BUDGETS = {
     "events_asof_last_purchase": 3,
     "orders_top3_per_customer": 2,
     "dedup_exact": 3,
-    "dedup_minhash_lsh": 38,  # signature + band + verify pipeline
-    "dedup_simhash_pairs": 9,
-    "decontam_ngram_hits": 9,
+    "dedup_minhash_lsh": 36,  # signature + band + verify pipeline
+    "dedup_simhash_pairs": 8,
+    "decontam_ngram_hits": 8,
     "corpus_pack_sequences": 3,
-    "events_funnel_conversion": 13,  # 4 chained step joins + aggregates
+    "events_funnel_conversion": 12,  # 4 chained step joins + aggregates
     "corpus_ngram_diversity": 6,
     "kv_final_state": 3,
     "text_quality_score": 2,
     "similarity_topk_batch": 2,
     "corpus_bpe_token_counts": 5,
-    "pipeline_training_export": 11,  # verdicts + split + pack joins
-    "decontam_bloom_prefilter": 22,  # dual-path certification query
-    "dedup_edit_distance": 8,
+    "pipeline_training_export": 6,  # verdicts + split + pack joins (r5 fusion)
+    "decontam_bloom_prefilter": 5,  # dual-path certification query
+    "dedup_edit_distance": 7,
     "sketch_join_estimate": 6,
-    "corpus_leakage_safe_split": 4,  # CC output is checkpointed upstream
+    "corpus_leakage_safe_split": 2,  # CC output is checkpointed upstream
     "corpus_semantic_mixture": 7,
     "embedding_cluster_sample": 6,
     "sketch_histogram_quantiles": 5,
