@@ -14,7 +14,6 @@ to stay under ~2 minutes on local[32].
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -127,3 +126,41 @@ def test_markov_on_tie_denominator_group(spark, tmp_path):
     assert any(r.from_n % 64 == 0 for r in rows_out), (
         f"canary lost its tie-class denominator: {[r.from_n for r in rows_out]}"
     )
+
+
+# Near-dup-rich corpora: texts drawn from a tiny template pool with
+# random tails, so exact dups, containments, and high-Jaccard pairs
+# all occur — driving the LSH/verify surface (integer-exact Jaccard
+# and containment ratios) through the oracle compare on random input.
+_TEMPLATES = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs for the winter trip",
+    "sphinx of black quartz judge my vow",
+]
+
+_dedup_doc = st.tuples(
+    st.sampled_from(_TEMPLATES),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4),
+).map(lambda t: " ".join([t[0], *t[1]]))
+
+_dedup_corpus = st.lists(_dedup_doc, min_size=2, max_size=7)
+
+_DEDUP_QUERIES = [
+    "dedup_exact",
+    "dedup_shingle_containment",
+    "dedup_ngram_jaccard",
+]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_dedup_corpus)
+def test_dedup_verify_queries_match_oracle_on_near_dup_corpora(
+    spark, tmp_path_factory, texts
+):
+    tmp = tmp_path_factory.mktemp("randdedup")
+    _write_documents(tmp, texts)
+    for name in _DEDUP_QUERIES:
+        e = REGISTRY[name]
+        compare_query(spark, e.fn, e.oracle, str(tmp), name=f"rand-{name}")
