@@ -75,16 +75,21 @@ def _ordered_names() -> list[str]:
     rest.sort(key=lambda n: last.get(n, 0))
     seats = max(0, WINDOW - len(pinned))
     # Pin-release valve: while the first unseated row is >= 2 rounds
-    # stale (or never checked) and a fresh pinned row holds a seat it
-    # doesn't need this round, hand the seat over.
+    # stale (or never checked) and ANY releasable pinned row (beyond
+    # the floor) was confirmed in the latest round, hand that seat
+    # over — releasing latest-listed-first among the fresh pins, so a
+    # stale pin elsewhere in the list cannot block the valve.
     released: list[str] = []
-    while (
-        len(pinned) > _PIN_FLOOR
-        and len(rest) > seats
-        and last.get(rest[seats], 0) <= max_round - 2
-        and last.get(pinned[-1], 0) >= max_round
+    while len(pinned) > _PIN_FLOOR and len(rest) > seats and (
+        last.get(rest[seats], 0) <= max_round - 2
     ):
-        released.append(pinned.pop())
+        fresh = [
+            n for n in pinned[_PIN_FLOOR:] if last.get(n, 0) >= max_round
+        ]
+        if not fresh:
+            break
+        released.append(fresh[-1])
+        pinned.remove(fresh[-1])
         seats = max(0, WINDOW - len(pinned))
     return rest[:seats] + pinned + released + rest[seats:]
 

@@ -90,6 +90,35 @@ def exact_ratio_sql(num: str, den: str, dp: int = 6) -> str:
     )
 
 
+def exact_ratio_wide_spark(num: str, den: str, dp: int = 6) -> Column:
+    """Wide-headroom variant of :func:`exact_ratio_spark`: the same
+    half-up integer formula computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB twin), for numerators past the int64 ceiling —
+    e.g. money sums scaled by 10^4·10^dp (TPC-H Q14's monthly revenue
+    overflowed int64 at sf0.01). Operands must be integral-VALUED
+    expressions (a scale-4 decimal × 10000 is fine); the quotient
+    must still fit int64 (it is value·10^dp). Same num ≥ 0 contract
+    and NULL-on-zero-denominator behavior."""
+    s = 10 ** dp
+    return F.expr(
+        f"CAST((2 * CAST(({num}) AS DECIMAL(38,0)) * {s}L"
+        f" + CAST(({den}) AS DECIMAL(38,0)))"
+        f" div (2 * nullif(CAST(({den}) AS DECIMAL(38,0)), 0)) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE)"
+    )
+
+
+def exact_ratio_wide_sql(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`exact_ratio_wide_spark` (HUGEINT)."""
+    s = 10 ** dp
+    return (
+        f"(CAST((2 * CAST(({num}) AS HUGEINT) * {s}"
+        f" + CAST(({den}) AS HUGEINT))"
+        f" // (2 * nullif(CAST(({den}) AS HUGEINT), 0)) AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE))"
+    )
+
+
 def det_round_spark(x: str, dp: int = 6) -> Column:
     """Engine-identical rounding for DOUBLE expressions that cannot be
     integer-ized (sqrt/ln/overflow-prone scales): the explicit

@@ -24,10 +24,6 @@ from ..plans import table
 from ._util import exact_ratio_spark, exact_ratio_sql
 from .registry import query
 
-# Placeholder spliced into the f-string oracle below (the oracle is an
-# f-string, so a literal {fertility} field would be eagerly evaluated).
-_FERT_PH = "__FERTILITY_EXPR__"
-
 _N_MERGES = 6
 _SEG_TOP = 50
 
@@ -198,10 +194,10 @@ def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
-           {_FERT_PH} AS fertility
+           {exact_ratio_sql('sum(n_sub)', 'count(*)')} AS fertility
     FROM dw JOIN segn USING (word)
     GROUP BY doc_id
-    """.replace(_FERT_PH, exact_ratio_sql("sum(n_sub)", "count(*)"))
+    """
     ),
 )
 def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,7 +229,7 @@ _BLOOM_JS = ", ".join(str(j) for j in range(BLOOM_K))  # oracle UNNEST list
            CAST(sum(member) AS BIGINT) AS n_true_member,
            CAST(sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_positive,
-           (CAST((2 * CAST((sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)) AS BIGINT) * 1000000 + CAST((nullif(count(*) - sum(member), 0)) AS BIGINT)) // (2 * CAST((nullif(count(*) - sum(member), 0)) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS fp_rate
+           (CAST((2 * CAST((sum(CASE WHEN passed = 1 AND member = 0 THEN 1 ELSE 0 END)) AS BIGINT) * 1000000 + CAST((nullif(count(*) - sum(member), 0)) AS BIGINT)) // (2 * nullif(CAST((nullif(count(*) - sum(member), 0)) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS fp_rate
     FROM flags
     """,
 )

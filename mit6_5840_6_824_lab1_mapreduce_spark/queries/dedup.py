@@ -86,9 +86,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
-           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,9 +127,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
-           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     """,
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,9 +273,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.id_a, p.id_b
     )
     SELECT i.id_a, i.id_b,
-           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.3
+    WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +342,7 @@ _CC_SQL = r"""
     jpairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     ),
     e AS (
       SELECT id_a AS src, id_b AS dst FROM jpairs
@@ -443,7 +443,7 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpairs AS (
       SELECT i.id_a, i.id_b
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     )
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
@@ -507,11 +507,11 @@ def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.id, b.id
     )
     SELECT i.id_a, i.id_b, i.n_inter,
-           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * CAST((ca.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_a,
-           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * CAST((cb.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_b
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * nullif(CAST((ca.n) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_a,
+           (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * nullif(CAST((cb.n) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS contain_b
     FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-    WHERE greatest((CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * CAST((ca.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)),
-                   (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * CAST((cb.n) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE))) >= 0.5
+    WHERE greatest((CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n) AS BIGINT)) // (2 * nullif(CAST((ca.n) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)),
+                   (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((cb.n) AS BIGINT)) // (2 * nullif(CAST((cb.n) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE))) >= 0.5
     """,
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,7 +586,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i.new_id, i.other_id
       FROM inter i JOIN cnt ca ON i.new_id = ca.id
                    JOIN cnt cb ON i.other_id = cb.id
-      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.8
     ),
     agg AS (
       SELECT new_id,
@@ -642,9 +642,9 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     ),
     jac AS (
-      SELECT (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS j
+      SELECT (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS j
       FROM inter i JOIN cnt ca ON i.id_a = ca.id JOIN cnt cb ON i.id_b = cb.id
-      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * CAST((ca.n + cb.n - n_inter) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.7
+      WHERE (CAST((2 * CAST((n_inter) AS BIGINT) * 1000000 + CAST((ca.n + cb.n - n_inter) AS BIGINT)) // (2 * nullif(CAST((ca.n + cb.n - n_inter) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= 0.7
     )
     SELECT count(*) AS n_pairs_070,
            CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
@@ -654,7 +654,7 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN j >= round(1.0, 6) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pairs_exact,
            min(j) AS min_jaccard,
-           (CAST((2 * CAST((sum(CAST(round(j * 1000000, 0) AS BIGINT))) AS BIGINT) * 1000000 + CAST((1000000 * count(*)) AS BIGINT)) // (2 * CAST((1000000 * count(*)) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS mean_jaccard
+           (CAST((2 * CAST((sum(CAST(round(j * 1000000, 0) AS BIGINT))) AS BIGINT) * 1000000 + CAST((1000000 * count(*)) AS BIGINT)) // (2 * nullif(CAST((1000000 * count(*)) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS mean_jaccard
     FROM jac
     """,
 )
@@ -767,7 +767,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.id_a, c.id_b,
            CAST(levenshtein(da.p, db.p) AS BIGINT) AS prefix_dist,
-           (CAST((2 * CAST((64 - levenshtein(da.p, db.p)) AS BIGINT) * 1000000 + CAST((64) AS BIGINT)) // (2 * CAST((64) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS prefix_sim
+           (CAST((2 * CAST((64 - levenshtein(da.p, db.p)) AS BIGINT) * 1000000 + CAST((64) AS BIGINT)) // (2 * nullif(CAST((64) AS BIGINT), 0)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS prefix_sim
     FROM cand c
     JOIN ascii_p da ON da.doc_id = c.id_a
     JOIN ascii_p db ON db.doc_id = c.id_b

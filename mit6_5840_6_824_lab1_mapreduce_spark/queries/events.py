@@ -417,7 +417,6 @@ def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     m AS (
       SELECT event_type, n,
-             CAST(s * 100 AS BIGINT) AS s_cents,
              CAST(s AS DOUBLE) / n AS mean,
              sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
                            / (n - 1), 0)) AS sd
@@ -431,8 +430,7 @@ def events_weekly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
     FROM events e JOIN m USING (event_type)
     GROUP BY e.event_type
     """.replace(
-        "{MEAN}",
-        exact_ratio_sql("any_value(m.s_cents)", "100 * any_value(m.n)"),
+        "{MEAN}", det_round_sql("any_value(m.mean)")
     ).replace("{STDDEV}", det_round_sql("any_value(m.sd)")),
 )
 def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,7 +454,6 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = st.select(
         "event_type",
         "n",
-        (F.col("s") * 100).cast("long").alias("s_cents"),
         (F.col("s").cast("double") / F.col("n")).alias("mean"),
         # greatest(..., 0): float cancellation on a (near-)constant group
         # can push the radicand to ~-1e-6; DuckDB's sqrt raises on
@@ -475,12 +472,12 @@ def events_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(m), "event_type")
     return j.groupBy("event_type").agg(
         F.any_value("n").alias("n"),
-        # mean: integer-exact half-up of cents/(100·n); stddev is a
-        # sqrt (irrational) — engine-identical det_round instead of
-        # the tie-divergent native round (round-5 sweep).
-        exact_ratio_spark("any_value(s_cents)", "100 * any_value(n)").alias(
-            "mean"
-        ),
+        # det_round for BOTH (r5 review): value sums can be negative
+        # (the exact_ratio idiom's div-vs-// semantics split on
+        # negative numerators), and sd is an irrational sqrt — the
+        # decimal-exact-sum -> double -> divide pipeline is already
+        # engine-identical, det_round finishes it tie-proof.
+        det_round_spark("any_value(mean)").alias("mean"),
         det_round_spark("any_value(sd)").alias("stddev"),
         F.sum(
             (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")).cast("int")

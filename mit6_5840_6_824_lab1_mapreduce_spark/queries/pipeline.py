@@ -96,13 +96,21 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same projected frame — previously three separate scans of
     # `documents` joined back on doc_id (two joins and two text
     # re-parses that dominate at 100 TB).
+    # The oracle reads the STORED documents.n_chars column (an
+    # ingested field, not derivable); quality_frame emits its own
+    # recomputed n_chars = length(text), so carry the stored column
+    # through under a distinct name (reviewer r5: nothing enforces
+    # stored == recomputed for arbitrary sources).
     ann = quality_frame(
-        language_frame(docs, keep=("text", "n_chars")),
-        keep=("pred_lang", "text"),
+        language_frame(
+            docs.withColumn("stored_n_chars", F.col("n_chars")),
+            keep=("text", "stored_n_chars"),
+        ),
+        keep=("pred_lang", "text", "stored_n_chars"),
     )
     hashed = ann.select(
         "doc_id",
-        "n_chars",
+        F.col("stored_n_chars").alias("n_chars"),
         "quality_score",
         "pred_lang",
         F.min("doc_id")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
-from ._util import MONEY, avg_of, disc_price, charge, sum_expr, sum_money, ts_str
+from ._util import MONEY, avg_of, disc_price, charge, exact_ratio_spark, exact_ratio_sql, exact_ratio_wide_spark, exact_ratio_wide_sql, sum_expr, sum_money, ts_str
 from .registry import query
 
 
@@ -374,16 +374,21 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "monthly_return_share",
-    oracle=r"""
-    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
-           round(CAST(sum(CASE WHEN l_returnflag = 'R'
-                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
-                 6) AS return_share,
-           count(*) AS n_lines
-    FROM lineitem
-    GROUP BY 1
+    oracle=rf"""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS num_d,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS den_d,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT ship_month,
+           {exact_ratio_sql('num_d * 100', 'den_d * 100')} AS return_share,
+           n_lines
+    FROM m
     """,
 )
 def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,21 +402,33 @@ def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast(MONEY))
     )
     den = F.sum(F.col("l_extendedprice").cast(MONEY))
-    return li.groupBy(
-        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
-            "ship_month"
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            )
         )
-    ).agg(
-        F.round(num.cast("double") / den.cast("double"), 6).alias("return_share"),
-        F.count("*").alias("n_lines"),
+        .agg(
+            num.alias("num_d"),
+            den.alias("den_d"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "ship_month",
+            # Integer-exact half-up over exact cents (r5 tie sweep).
+            exact_ratio_spark("num_d * 100", "den_d * 100").alias(
+                "return_share"
+            ),
+            "n_lines",
+        )
     )
 
 
 @query(
     "small_quantity_order_revenue",
-    oracle=r"""
+    oracle=rf"""
     SELECT l1.l_partkey,
-           round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+           {exact_ratio_sql('sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) * 100', '700', 2)}
              AS avg_yearly
     FROM lineitem l1
     WHERE l1.l_quantity < (
@@ -436,8 +453,9 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
     )
     return flt.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0, 2
+        # Integer-exact half-up of cents/700 (r5 tie sweep).
+        exact_ratio_spark(
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100", "700", 2
         ).alias("avg_yearly")
     )
 
@@ -650,19 +668,23 @@ def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_order_cadence",
-    oracle=r"""
-    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(date_diff('day', lag(o_orderdate)
-                  OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS BIGINT) AS days_since_prev,
-           round(percent_rank() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice, o_orderkey), 6)
-             AS price_pct_rank,
-           round(cume_dist() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_totalprice, o_orderkey), 6)
-             AS price_cume_dist
-    FROM orders
+    oracle=rf"""
+    WITH w AS (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             CAST(date_diff('day', lag(o_orderdate)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS days_since_prev,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT custkey, orderkey, days_since_prev,
+           CASE WHEN n = 1 THEN CAST(0 AS DOUBLE)
+                ELSE {exact_ratio_sql('rn - 1', 'n - 1')} END AS price_pct_rank,
+           {exact_ratio_sql('rn', 'n')} AS price_cume_dist
+    FROM w
     """,
 )
 def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,14 +696,29 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.datediff("o_orderdate", F.lag("o_orderdate").over(w_date))
-        .cast("long")
-        .alias("days_since_prev"),
-        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
-        F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+    # The price ordering is UNIQUE (orderkey tiebreak), so
+    # percent_rank == (rn-1)/(n-1) and cume_dist == rn/n exactly —
+    # restated as integer-exact half-up ratios (r5 tie sweep: rank
+    # fractions with denominators like 640 are the tie class).
+    w_rows = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w_date))
+            .cast("long")
+            .alias("days_since_prev"),
+            F.row_number().over(w_price).alias("rn"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+        )
+    )
+    return w_rows.select(
+        "custkey",
+        "orderkey",
+        "days_since_prev",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(exact_ratio_spark("rn - 1", "n - 1"))
+        .alias("price_pct_rank"),
+        exact_ratio_spark("rn", "n").alias("price_cume_dist"),
     )
 
 
@@ -908,11 +945,12 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
     )
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
-                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+           {MKT_SHARE} AS mkt_share
     FROM flat GROUP BY o_year
-    """,
+    """.replace("{MKT_SHARE}", exact_ratio_wide_sql(
+        "sum(CASE WHEN supp_nation = 'NATION_7' THEN vol"
+        " ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000",
+        "sum(vol) * 10000")),
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — NATION_7 suppliers'
@@ -951,14 +989,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    zero = F.lit(0).cast(MONEY)
+    # Integer-exact half-up over scale-4 decimal sums x 10^4, in the
+    # WIDE (DECIMAL/HUGEINT) idiom — money sums scaled by 10^4*10^6
+    # blow past int64 at realistic volumes (r5 tie sweep).
     return flat.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(zero)
-            ).cast("double")
-            / F.sum("vol").cast("double"),
-            6,
+        exact_ratio_wide_spark(
+            "sum(CASE WHEN supp_nation = 'NATION_7' THEN vol"
+            " ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000",
+            "sum(vol) * 10000",
         ).alias("mkt_share")
     )
 
@@ -1001,14 +1039,15 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_revenue",
-    oracle=r"""
-    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
-                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE),
-             6) AS promo_revenue_pct
+    oracle=rf"""
+    SELECT {exact_ratio_wide_sql(
+        "sum(CASE WHEN p.p_type = 'PROMO'"
+        " THEN CAST(l.l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l.l_discount AS DECIMAL(3,2)))"
+        " ELSE CAST(0 AS DECIMAL(18,2)) END) * 1000000",
+        "sum(CAST(l.l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) * 10000")}
+             AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
       AND l.l_shipdate < TIMESTAMP '1996-10-01'
@@ -1024,16 +1063,18 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    zero = F.lit(0).cast(MONEY)
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", disc_price().alias("dp")
+    )
+    # 100*num/den as ONE exact rational: numerator scaled by 10^6
+    # (10^4 decimal scale x the 100 percent factor), denominator by
+    # 10^4, in the WIDE idiom (int64 overflowed at sf0.01 already —
+    # r5 tie sweep).
     return j.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)).cast(
-                "double"
-            )
-            / F.sum(disc_price()).cast("double"),
-            6,
+        exact_ratio_wide_spark(
+            "sum(CASE WHEN p_type = 'PROMO' THEN dp"
+            " ELSE CAST(0 AS DECIMAL(18,2)) END) * 1000000",
+            "sum(dp) * 10000",
         ).alias("promo_revenue_pct")
     )
 
@@ -1406,14 +1447,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.part_a, t.part_b, t.co_orders,
            CAST(pa.cnt AS BIGINT) AS n_a, CAST(pb.cnt AS BIGINT) AS n_b,
-           round(CAST(t.co_orders AS DOUBLE) / n.n, 6) AS support,
-           round(CAST(t.co_orders AS DOUBLE) * n.n / (pa.cnt * pb.cnt), 6)
-             AS lift
+           {SUPPORT} AS support,
+           {LIFT} AS lift
     FROM top t
     JOIN part_n pa ON t.part_a = pa.l_partkey
     JOIN part_n pb ON t.part_b = pb.l_partkey
     CROSS JOIN n_ord n
-    """,
+    """.replace("{SUPPORT}", exact_ratio_sql("t.co_orders", "n.n")
+    ).replace("{LIFT}", exact_ratio_sql("t.co_orders * n.n", "pa.cnt * pb.cnt")),
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs by co-occurrence
@@ -1455,15 +1496,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co_orders",
             "n_a",
             "n_b",
-            F.round(F.col("co_orders").cast("double") / F.col("n"), 6).alias(
-                "support"
-            ),
-            F.round(
-                F.col("co_orders").cast("double")
-                * F.col("n")
-                / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
+            # Integer-exact half-up support/lift (r5 tie sweep).
+            exact_ratio_spark("co_orders", "n").alias("support"),
+            exact_ratio_spark("co_orders * n", "n_a * n_b").alias("lift"),
         )
     )
 
@@ -1488,12 +1523,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(pct AS INT) AS top_pct,
            CAST(max(rn) AS BIGINT) AS n_top_customers,
            round(CAST(max(cum) AS DOUBLE), 2) AS top_revenue,
-           round(CAST(max(cum) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
-             AS revenue_share
+           {RSHARE} AS revenue_share
     FROM ranked, unnest([1, 5, 10, 20]) AS t(pct)
     WHERE rn * 100 <= n_cust * pct
     GROUP BY pct
-    """,
+    """.replace("{RSHARE}", exact_ratio_sql("max(cum) * 100", "max(total) * 100")),
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: what share of total revenue do the top
@@ -1522,7 +1556,8 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("top_pct").agg(
         F.max("rn").alias("n_top_customers"),
         F.round(F.max("cum").cast("double"), 2).alias("top_revenue"),
-        F.round(
-            F.max("cum").cast("double") / F.max("total").cast("double"), 6
-        ).alias("revenue_share"),
+        # Integer-exact half-up over exact cents (r5 tie sweep).
+        exact_ratio_spark("max(cum) * 100", "max(total) * 100").alias(
+            "revenue_share"
+        ),
     )

@@ -31,14 +31,6 @@ from ..plans import table
 from ._util import det_round_col, det_round_sql, exact_ratio_spark, exact_ratio_sql
 from .registry import query
 
-# Placeholders spliced into f-string oracles below (literal {X} fields
-# would be eagerly f-evaluated).
-_TRATE_PH = "__TRATE_EXPR__"
-_WGT_PH = "__WGT_EXPR__"
-_NSHARE_PH = "__NSHARE_EXPR__"
-_TSHARE_PH = "__TSHARE_EXPR__"
-_EPOCHS_PH = "__EPOCHS_EXPR__"
-
 # Tokens per packed training sequence (a toy stand-in for 2048/4096;
 # the math is budget-independent) and shard fan-out for parallel
 # packing. At corpus scale, raise PACK_SHARDS to the writer count.
@@ -157,11 +149,11 @@ SAMPLE_ALPHA = 0.5
                   THEN 1 ELSE 0 END AS keep
       FROM documents d JOIN p USING (source)
     )
-    SELECT p.source, p.n_docs, {_TRATE_PH} AS target_rate,
+    SELECT p.source, p.n_docs, {det_round_sql('p.target_rate')} AS target_rate,
            CAST(sum(k.keep) AS BIGINT) AS n_kept
     FROM kept k JOIN p USING (source)
     GROUP BY p.source, p.n_docs, p.target_rate
-    """.replace(_TRATE_PH, det_round_sql("p.target_rate")),
+    """,
 )
 def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source sampling: per-source keep rate
@@ -401,7 +393,7 @@ MIX_BUDGET_TOKENS = 1_000_000
     ),
     w AS (
       SELECT *,
-             CAST({_WGT_PH} AS DECIMAL(28,6)) AS wgt
+             CAST({det_round_sql('sqrt(CAST(total_tokens AS DOUBLE))')} AS DECIMAL(28,6)) AS wgt
       FROM s
     ),
     t AS (
@@ -411,15 +403,11 @@ MIX_BUDGET_TOKENS = 1_000_000
       FROM w
     )
     SELECT source, n_docs, total_tokens,
-           {_NSHARE_PH} AS natural_share,
-           {_TSHARE_PH} AS target_share,
-           {_EPOCHS_PH} AS epochs
+           {exact_ratio_sql('total_tokens', 'tt')} AS natural_share,
+           {det_round_sql('target_share')} AS target_share,
+           {det_round_sql(f'target_share * {MIX_BUDGET_TOKENS} / total_tokens')} AS epochs
     FROM t
-    """.replace(_WGT_PH, det_round_sql("sqrt(CAST(total_tokens AS DOUBLE))")
-    ).replace(_NSHARE_PH, exact_ratio_sql("total_tokens", "tt")
-    ).replace(_TSHARE_PH, det_round_sql("target_share")
-    ).replace(_EPOCHS_PH, det_round_sql(
-        f"target_share * {MIX_BUDGET_TOKENS} / total_tokens")),
+    """,
 )
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture table a training run is configured from: per

@@ -112,3 +112,33 @@ def test_det_round_cross_engine(spark, x, dp):
     ref = _py_det_round(x, dp)
     assert sval == ref, f"spark {sval!r} != ref {ref!r} for x={x!r} dp={dp}"
     assert oval == ref, f"duckdb {oval!r} != ref {ref!r} for x={x!r} dp={dp}"
+
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries._util import (  # noqa: E402
+    exact_ratio_wide_spark,
+    exact_ratio_wide_sql,
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=0, max_value=10**22),
+       st.integers(min_value=1, max_value=10**16),
+       _dps)
+def test_exact_ratio_wide_cross_engine(spark, num, den, dp):
+    """The DECIMAL(38,0)/HUGEINT variant must agree with the Fraction
+    reference far past the int64 ceiling — as long as the QUOTIENT
+    (value * 10^dp) fits int64 (helper contract)."""
+    s = 10 ** dp
+    ref_int = math.floor(Fraction(num * s, den) + Fraction(1, 2))
+    if ref_int >= 2 ** 62:  # outside the helper's quotient contract
+        return
+    sval = spark.range(1).select(
+        exact_ratio_wide_spark(str(num), str(den), dp).alias("v")
+    ).head().v
+    oval = duckdb.sql(
+        f"SELECT {exact_ratio_wide_sql(str(num), str(den), dp)} AS v"
+    ).fetchone()[0]
+    ref = ref_int / s
+    assert sval == ref, f"spark {sval!r} != ref {ref!r}"
+    assert oval == ref, f"duckdb {oval!r} != ref {ref!r}"
