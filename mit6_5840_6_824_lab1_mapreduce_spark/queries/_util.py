@@ -97,7 +97,11 @@ def exact_ratio_wide_spark(num: str, den: str, dp: int = 6) -> Column:
     e.g. money sums scaled by 10^4·10^dp (TPC-H Q14's monthly revenue
     overflowed int64 at sf0.01). Operands must be integral-VALUED
     expressions (a scale-4 decimal × 10000 is fine); the quotient
-    must still fit int64 (it is value·10^dp). Same num ≥ 0 contract
+    (value·10^dp) must stay under 2^53: past that the int→double
+    cast itself rounds (no exact half-up exists), and past 2^63
+    Spark's decimal `div` wraps the long result where DuckDB's
+    HUGEINT keeps going — shares/percentages/per-group means are
+    orders of magnitude below either line. Same num ≥ 0 contract
     and NULL-on-zero-denominator behavior."""
     s = 10 ** dp
     return F.expr(

