@@ -66,14 +66,21 @@ def test_never_checked_queries_are_seated():
 def test_window_prefers_oldest_confirmation():
     """The computed ordering must seat rows whose last driver
     confirmation is oldest before fresher ones (refresh coverage,
-    verdict r03 item 2)."""
+    verdict r03 item 2) — among UNCHANGED rows; changed-since-
+    confirmation rows legitimately jump the staleness queue
+    (round-6 change-aware window)."""
     last = entry._last_checked_round()
     if not last:
         return
+    changed = entry._changed_since_confirmation(last)
     names = list(entry.queries())
     pinned = set(entry._PINNED_KV)
-    in_window = [n for n in names[:WINDOW] if n not in pinned]
-    out_window = [n for n in names[WINDOW:] if n not in pinned]
+    in_window = [
+        n for n in names[:WINDOW] if n not in pinned and n not in changed
+    ]
+    out_window = [
+        n for n in names[WINDOW:] if n not in pinned and n not in changed
+    ]
     if not in_window or not out_window:
         return
     oldest_out = min(last.get(n, 0) for n in out_window)
@@ -82,6 +89,67 @@ def test_window_prefers_oldest_confirmation():
         "a row with a fresher driver confirmation is seated while an "
         "older one waits outside the window"
     )
+
+
+def test_changed_queries_jump_the_queue():
+    """Round-5 verdict task 1: a query whose definition changed after
+    its last CORRECTNESS row holds a proof of STALE code — it must
+    re-seat ahead of merely-stale rows. Every changed query is seated
+    unless the changed set alone overflows the window."""
+    last = entry._last_checked_round()
+    if not last:
+        return
+    changed = entry._changed_since_confirmation(last)
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    unseated = sorted(n for n in changed if n not in window)
+    overflow_budget = max(0, len(changed) - WINDOW)
+    assert len(unseated) <= overflow_budget, (
+        f"changed-since-confirmation queries left outside the window "
+        f"while unchanged rows hold seats: {unseated}"
+    )
+
+
+def test_next_round_defs_snapshot_is_current():
+    """QUERY_DEFS_r{NN}.json for the UPCOMING driver round must match
+    the registry's current definition hashes — otherwise the next
+    round's change detection compares against a stale snapshot.
+    Regenerate with: python tools/dump_query_defs.py <NN>."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.defs import current_defs
+
+    last = entry._last_checked_round()
+    nxt = max(last.values(), default=0) + 1
+    snap_file = REPO / f"QUERY_DEFS_r{nxt:02d}.json"
+    assert snap_file.exists(), (
+        f"missing {snap_file.name} — run: python tools/dump_query_defs.py {nxt}"
+    )
+    snap = json.loads(snap_file.read_text())
+    cur = current_defs()
+    drifted = sorted(
+        n for n in set(snap) | set(cur) if snap.get(n) != cur.get(n)
+    )
+    assert not drifted, (
+        f"{snap_file.name} is stale for {drifted}; "
+        f"run: python tools/dump_query_defs.py {nxt}"
+    )
+
+
+def test_dump_tool_hash_matches_canonical():
+    """tools/dump_query_defs.py carries a pinned inline copy of
+    queries.defs.def_hash (so it can hash historical checkouts that
+    predate the module); the two implementations must agree."""
+    import importlib.util
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.defs import def_hash
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_query_defs", REPO / "tools" / "dump_query_defs.py"
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    for name, e in REGISTRY.items():
+        assert tool._def_hash(e) == def_hash(e), name
 
 
 def test_pin_release_valve_seats_stale_rows():
@@ -94,24 +162,30 @@ def test_pin_release_valve_seats_stale_rows():
     if not last:
         return
     max_round = max(last.values())
+    changed = entry._changed_since_confirmation(last)
     names = list(entry.queries())
     window = set(names[:WINDOW])
     pinned_in = [n for n in entry._PINNED_KV if n in window]
     assert len(pinned_in) >= entry._PIN_FLOOR
-    assert "kv_final_state" in window and "kv_get_at_seq" in window
-    stale_out = [
+    for n in entry._NEVER_RELEASE:
+        assert n in window, f"name-guarded pin {n} lost its seat"
+    needy_out = [
         n for n in names[WINDOW:]
-        if n not in entry._PINNED_KV and last.get(n, 0) <= max_round - 2
+        if n not in entry._PINNED_KV
+        and (n in changed or last.get(n, 0) <= max_round - 2)
     ]
-    if stale_out:
-        # valve exhausted: no RELEASABLE pin (fresh, beyond the floor)
-        # may still hold a seat a stale row could use — a pin that is
-        # itself stale legitimately keeps its seat.
+    if needy_out:
+        # valve exhausted: no RELEASABLE pin (fresh, not name-guarded,
+        # not itself changed) may still hold a seat a needy row could
+        # use — a pin that is itself stale or changed legitimately
+        # keeps its seat (it needs the re-proof too).
         releasable = [
-            n for n in pinned_in[entry._PIN_FLOOR:]
-            if last.get(n, 0) >= max_round
+            n for n in pinned_in
+            if n not in entry._NEVER_RELEASE
+            and n not in changed
+            and last.get(n, 0) >= max_round
         ]
         assert not releasable, (
-            f"stale rows unseated while releasable pins remain: "
-            f"{stale_out} vs {releasable}"
+            f"needy rows unseated while releasable pins remain: "
+            f"{needy_out} vs {releasable}"
         )
