@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..plans import table
 from .dedup import _BANDS_SQL, _CC_SQL, _MINHASH_SQL, _SHINGLES_SQL
-from ._util import exact_ratio_spark, exact_ratio_sql
+from ._util import exact_ratio_wide_spark, exact_ratio_wide_sql
 from .registry import REGISTRY, query
 from .text_metrics import language_frame, quality_frame
 from .dedup import _minhash_components, lsplit_is_holdout, lsplit_is_holdout_sql
@@ -167,8 +167,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            {MQ} AS mean_quality
     FROM v GROUP BY verdict
-    """.replace("{MQ}", exact_ratio_sql(
-        "CAST(sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000 AS BIGINT)",
+    """.replace("{MQ}", exact_ratio_wide_sql(
+        "sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000",
         "1000000 * count(*)")),
 )
 def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,9 +187,11 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cast is lossless-deterministic on both engines)
             # Integer-exact half-up mean over the exact decimal sum
             # (quality_score is an exact k/1e6 value - r5 sweep).
-            exact_ratio_spark(
-                "CAST(sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000"
-                " AS BIGINT)",
+            # Wide variant: the score-sum x 10^6 x 10^6 numerator hits
+            # int64 near ~4.6M docs — DECIMAL(38,0)/HUGEINT instead of
+            # a narrowing BIGINT cast (advisor r05).
+            exact_ratio_wide_spark(
+                "sum(CAST(quality_score AS DECIMAL(12,6))) * 1000000",
                 "1000000 * count(1)",
             ).alias("mean_quality"),
         )

@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import LETTER_SPLIT_RE
 from ..operators.dedup import gram_windows, tokens
 from ..plans import table
-from ._util import det_round_spark, det_round_sql, exact_ratio_spark, exact_ratio_sql
+from ._util import (
+    det_round_spark,
+    det_round_sql,
+    exact_ratio_spark,
+    exact_ratio_sql,
+    exact_ratio_wide_spark,
+    exact_ratio_wide_sql,
+)
 from .registry import query
 
 # 60-bit uniform hash from the first 15 hex chars of md5 — the shared
@@ -387,7 +394,7 @@ _COVERAGE_PCTS = (50, 90, 95, 99)
     {" UNION ALL ".join(
         f"SELECT CAST({p} AS INT) AS coverage_pct, CAST(v{p} AS BIGINT) AS vocab_size, "
         f"CAST(c{p} AS BIGINT) AS tokens_covered, CAST(total AS BIGINT) AS total_tokens, "
-        f"{exact_ratio_sql(f'c{p}', 'total')} AS coverage FROM marks"
+        f"{exact_ratio_wide_sql(f'c{p}', 'total')} AS coverage FROM marks"
         for p in _COVERAGE_PCTS)}
     """,
 )
@@ -445,8 +452,10 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         "tokens_covered",
         "total_tokens",
-        # Integer-exact half-up ratio (round-5 tie-class sweep).
-        exact_ratio_spark("tokens_covered", "total_tokens").alias("coverage"),
+        # Integer-exact half-up ratio (round-5 tie-class sweep); wide:
+        # corpus token sums x 10^6 pass int64 near ~4.6e12 tokens,
+        # inside the 100 TB target (advisor r05 class).
+        exact_ratio_wide_spark("tokens_covered", "total_tokens").alias("coverage"),
     )
 
 

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..plans import table
-from ._util import exact_ratio_spark, exact_ratio_sql
+from ._util import (
+    exact_ratio_spark,
+    exact_ratio_sql,
+    exact_ratio_wide_spark,
+    exact_ratio_wide_sql,
+)
 from .registry import query
 
 _STOP = {
@@ -429,7 +434,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            {ws} AS word_share
     FROM (SELECT source, n_docs, total_words,
                  sum(total_words) OVER () AS tw FROM t)
-    """.replace("{ws}", exact_ratio_sql("total_words", "tw")),
+    """.replace("{ws}", exact_ratio_wide_sql("total_words", "tw")),
 )
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture table: per-source document and word-token
@@ -450,8 +455,10 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_words",
-        # Integer-exact half-up share (round-5 tie-class sweep).
-        exact_ratio_spark("total_words", "tw").alias("word_share"),
+        # Integer-exact half-up share (round-5 tie-class sweep); wide:
+        # corpus word sums x 10^6 pass int64 near ~4.6e12 tokens,
+        # inside the 100 TB target (advisor r05 class).
+        exact_ratio_wide_spark("total_words", "tw").alias("word_share"),
     )
 
 
@@ -881,7 +888,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS distinct_grams,
            {diversity} AS diversity
     FROM per GROUP BY 1, 2
-    """.replace("{diversity}", exact_ratio_sql("count(*)", "sum(cnt)")),
+    """.replace("{diversity}", exact_ratio_wide_sql("count(*)", "sum(cnt)")),
 )
 def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n diversity (the self-BLEU stand-in production data
@@ -917,5 +924,7 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("source", "gram_n").agg(
         F.sum("cnt").alias("total_grams"),
         F.count("*").alias("distinct_grams"),
-        exact_ratio_spark("count(1)", "sum(cnt)").alias("diversity"),
+        # Wide: per-source distinct-gram counts can pass the int64
+        # ratio ceiling (~4.6e12) at the 100 TB target (advisor r05).
+        exact_ratio_wide_spark("count(1)", "sum(cnt)").alias("diversity"),
     )

@@ -386,7 +386,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT ship_month,
-           {exact_ratio_sql('num_d * 100', 'den_d * 100')} AS return_share,
+           {exact_ratio_wide_sql('num_d * 100', 'den_d * 100')} AS return_share,
            n_lines
     FROM m
     """,
@@ -415,8 +415,10 @@ def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "ship_month",
-            # Integer-exact half-up over exact cents (r5 tie sweep).
-            exact_ratio_spark("num_d * 100", "den_d * 100").alias(
+            # Integer-exact half-up over exact cents (r5 tie sweep);
+            # wide variant: monthly revenue cents x 10^6 passes int64
+            # around sf1k, far below the 100 TB target (advisor r05).
+            exact_ratio_wide_spark("num_d * 100", "den_d * 100").alias(
                 "return_share"
             ),
             "n_lines",
@@ -1454,7 +1456,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part_n pb ON t.part_b = pb.l_partkey
     CROSS JOIN n_ord n
     """.replace("{SUPPORT}", exact_ratio_sql("t.co_orders", "n.n")
-    ).replace("{LIFT}", exact_ratio_sql("t.co_orders * n.n", "pa.cnt * pb.cnt")),
+    ).replace(
+        "{LIFT}", exact_ratio_wide_sql("t.co_orders * n.n", "pa.cnt * pb.cnt")
+    ),
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs by co-occurrence
@@ -1497,8 +1501,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             # Integer-exact half-up support/lift (r5 tie sweep).
+            # support: co_orders <= n, safe in int64 to ~4.6e12 orders.
+            # lift: count x count PRODUCT in the numerator grows
+            # quadratically with sf — wide variant (advisor r05 class).
             exact_ratio_spark("co_orders", "n").alias("support"),
-            exact_ratio_spark("co_orders * n", "n_a * n_b").alias("lift"),
+            exact_ratio_wide_spark("co_orders * n", "n_a * n_b").alias("lift"),
         )
     )
 
@@ -1527,7 +1534,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked, unnest([1, 5, 10, 20]) AS t(pct)
     WHERE rn * 100 <= n_cust * pct
     GROUP BY pct
-    """.replace("{RSHARE}", exact_ratio_sql("max(cum) * 100", "max(total) * 100")),
+    """.replace(
+        "{RSHARE}", exact_ratio_wide_sql("max(cum) * 100", "max(total) * 100")
+    ),
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: what share of total revenue do the top
@@ -1556,8 +1565,10 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("top_pct").agg(
         F.max("rn").alias("n_top_customers"),
         F.round(F.max("cum").cast("double"), 2).alias("top_revenue"),
-        # Integer-exact half-up over exact cents (r5 tie sweep).
-        exact_ratio_spark("max(cum) * 100", "max(total) * 100").alias(
+        # Integer-exact half-up over exact cents (r5 tie sweep); wide:
+        # whole-table revenue cents x 10^6 blows int64 near sf100,
+        # well inside the 100 TB target (advisor r05).
+        exact_ratio_wide_spark("max(cum) * 100", "max(total) * 100").alias(
             "revenue_share"
         ),
     )

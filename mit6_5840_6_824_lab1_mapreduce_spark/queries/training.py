@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
-from ._util import det_round_col, det_round_sql, exact_ratio_spark, exact_ratio_sql
+from ._util import (
+    det_round_col,
+    det_round_sql,
+    exact_ratio_wide_spark,
+    exact_ratio_wide_sql,
+)
 from .registry import query
 
 # Tokens per packed training sequence (a toy stand-in for 2048/4096;
@@ -403,7 +408,7 @@ MIX_BUDGET_TOKENS = 1_000_000
       FROM w
     )
     SELECT source, n_docs, total_tokens,
-           {exact_ratio_sql('total_tokens', 'tt')} AS natural_share,
+           {exact_ratio_wide_sql('total_tokens', 'tt')} AS natural_share,
            {det_round_sql('target_share')} AS target_share,
            {det_round_sql(f'target_share * {MIX_BUDGET_TOKENS} / total_tokens')} AS epochs
     FROM t
@@ -441,7 +446,9 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_tokens",
-        exact_ratio_spark("total_tokens", "tt").alias("natural_share"),
+        # Wide: corpus token sums x 10^6 pass int64 near ~4.6e12
+        # tokens — inside the 100 TB target (advisor r05 class).
+        exact_ratio_wide_spark("total_tokens", "tt").alias("natural_share"),
         det_round_col(target).alias("target_share"),
         det_round_col(
             target * MIX_BUDGET_TOKENS / F.col("total_tokens")

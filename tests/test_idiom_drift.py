@@ -53,16 +53,31 @@ def test_every_inlined_ratio_matches_the_canonical_generator():
         assert not _OLD_SKELETON.search(sql), (
             f"{name}: oracle carries a pre-nullif (drifted) idiom copy"
         )
+        strict_spans: list[tuple[int, int]] = []
         for m in _RATIO_RE.finditer(sql):
             want = exact_ratio_sql(m.group("num"), m.group("den"),
                                    _dp_of(m.group("s")))
             assert m.group(0) == want, f"{name}: ratio idiom drifted"
+            strict_spans.append(m.span())
             checked += 1
         for m in _WIDE_RE.finditer(sql):
             want = exact_ratio_wide_sql(m.group("num"), m.group("den"),
                                         _dp_of(m.group("s")))
             assert m.group(0) == want, f"{name}: wide idiom drifted"
+            strict_spans.append(m.span())
             checked += 1
+        # Enforcement for the loose pattern (advisor r05: it was
+        # compiled but unused): every idiom-LOOKING fragment must lie
+        # inside a strict-skeleton match — an uncontained hit is a
+        # drifted inline copy the strict regexes no longer recognize.
+        for m in _LOOSE_RATIO.finditer(sql):
+            contained = any(a <= m.start() and m.end() <= b
+                            for a, b in strict_spans)
+            assert contained, (
+                f"{name}: idiom-looking fragment at offset {m.start()} "
+                f"({m.group(0)!r}) matches no canonical skeleton — "
+                f"drifted inline copy"
+            )
     # The sweep converted dozens of sites; if this drops to a handful,
     # the regexes stopped matching the generator (also drift).
     assert checked >= 30, f"only {checked} idiom sites recognized"
