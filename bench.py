@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
+import re
 import sys
 import time
 
@@ -149,6 +151,33 @@ def main() -> None:
         full.update(_time_queries([n for n in REGISTRY if n not in timings]))
 
     total = round(sum(timings.values()), 3)
+    # Persist the COMPLETE per-query dict to a committed file: the
+    # driver's BENCH artifact keeps only a 2000-char tail of stdout,
+    # which truncates ~90 of the 143 full-suite timings — regressions
+    # like r05's profile_orders_columns drift were only auditable by
+    # re-running (round-5 verdict task 3). Named for the round the
+    # driver is about to record (max CORRECTNESS round + 1).
+    if len(full) > len(timings):
+        repo = pathlib.Path(__file__).resolve().parent
+        rounds = [
+            int(m.group(1))
+            for f in repo.glob("CORRECTNESS_r*.json")
+            if (m := re.search(r"r(\d+)", f.stem))
+        ]
+        rno = max(rounds, default=0) + 1
+        (repo / f"BENCH_FULL_r{rno:02d}.json").write_text(
+            json.dumps(
+                {
+                    "sf": sf,
+                    "headline_suite_seconds": total,
+                    "full_suite_seconds": round(sum(full.values()), 3),
+                    "queries": full,
+                },
+                indent=0,
+                sort_keys=True,
+            )
+            + "\n"
+        )
     # Key ORDER matters: the driver's BENCH artifact keeps only a
     # 2000-char TAIL of this line (round-4 verdict: the headline number
     # was swallowed by the full-suite dict). Emit the big per-query

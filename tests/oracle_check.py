@@ -43,7 +43,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             if isinstance(v, (list, tuple)):
                 return "[" + ",".join(conv(x) for x in v) + "]"
             return str(v)
-        out[c] = col.map(conv)
+        # astype(object): map() on an EMPTY column preserves its numeric
+        # dtype, and DataFrame.equals would then fail two 0-row frames
+        # on dtype alone (the driver's value-hash treats them as equal).
+        out[c] = col.map(conv).astype(object)
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 

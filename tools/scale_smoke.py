@@ -1,0 +1,207 @@
+"""Opt-in sf1.0 scale-credibility smoke (round-6, verdict r05 task 6).
+
+Everything in CI is proven at sf0.01/sf0.1; this script executes the
+most expensive registered queries at ~10x the bench scale (sf1.0,
+~6M lineitem rows / 50k documents) and records wall time plus shuffle
+read/write bytes per query against the same run at sf0.1 — the check
+is *completion* plus *sub-quadratic shuffle growth* for the bucketed
+dedup family. NOT part of default CI (runtime ~minutes, disk ~1 GB):
+
+    python tools/scale_smoke.py            # generates data on first run
+    python tools/scale_smoke.py --regen    # force regeneration
+
+Data: the driver's testdata tooling only emits sf<=0.1, so sf1.0 is
+generated HERE (documented in SCALE.md) by stacking 10 key-shifted
+copies of the sf0.1 tables: fact keys move into disjoint ranges per
+copy, event timestamps shift by one hour per copy, document text gets
+a per-copy suffix token and embeddings a per-copy dimension nudge so
+replicas are near- (not exact-) duplicates. Caveat, stated where the
+numbers are used: replication makes every document a member of a
+10-strong near-dup clique, a HARDER candidate-pair density than
+natural 10x growth — completing inside the budget is a conservative
+pass for the dedup family. Dimensions (region/nation) keep reference
+cardinality, as they would at any real scale.
+
+Shuffle bytes come from the Spark UI REST API (status store), summed
+over the stages each query executes.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import pathlib
+import sys
+import time
+import urllib.request
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = pathlib.Path("/root/testdata/sf0.1")
+DST = REPO / "scale_data" / "sf1.0"
+COPIES = 10
+
+# The five most expensive r05 queries (judge's list) plus a pure-scan
+# baseline whose cost must track raw data volume.
+QUERIES = [
+    "tpch_q1_pricing_summary",
+    "profile_orders_columns",
+    "dedup_minhash_components",
+    "pipeline_clean_corpus",
+    "corpus_leakage_safe_split",
+    "graph_pagerank_nations",
+]
+
+# Max base key per table, used to shift each copy into a disjoint range.
+_SHIFT = 100_000_000
+
+
+def generate() -> None:
+    import duckdb
+
+    DST.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    copies = f"range({COPIES})"  # t(i)
+
+    def emit(table: str, select: str) -> None:
+        src = SRC / f"{table}.parquet"
+        out = DST / f"{table}.parquet"
+        con.execute(
+            f"COPY ({select.format(src=str(src), copies=copies)}) TO '{out}'"
+            f" (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"  {table}: {n} rows")
+
+    # Dimensions: reference cardinality at every scale.
+    for t in ("region", "nation"):
+        emit(t, "SELECT * FROM read_parquet('{src}')")
+    emit("supplier", """
+        SELECT s_suppkey + i*{shift} AS s_suppkey, s_name, s_nationkey,
+               s_acctbal
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("customer", """
+        SELECT c_custkey + i*{shift} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("part", """
+        SELECT p_partkey + i*{shift} AS p_partkey, p_name, p_brand, p_type,
+               p_size, p_retailprice
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("orders", """
+        SELECT o_orderkey + i*{shift} AS o_orderkey,
+               o_custkey + i*{shift} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("lineitem", """
+        SELECT l_orderkey + i*{shift} AS l_orderkey,
+               l_partkey + i*{shift} AS l_partkey,
+               l_suppkey + i*{shift} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("events", """
+        SELECT event_id + i*{shift} AS event_id,
+               ts + to_seconds(i*3600) AS ts,
+               user_id + i*{shift} AS user_id,
+               event_type, value, props
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    # Documents: per-copy suffix token -> replicas are NEAR-dups (a
+    # 10-clique per base doc), deliberately harder than natural growth.
+    emit("documents", """
+        SELECT doc_id + i*{shift} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE text || ' copyvariant' || CAST(i AS VARCHAR) END AS text,
+               lang, source,
+               n_chars + CASE WHEN i = 0 THEN 0
+                              ELSE 13 + len(CAST(i AS VARCHAR)) END AS n_chars
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    emit("embeddings", """
+        SELECT vec_id + i*{shift} AS vec_id,
+               list_transform(embedding,
+                              x -> CAST(x + i * 0.001 AS FLOAT)) AS embedding,
+               label
+        FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
+    con.close()
+
+
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all
+    completed stages so far."""
+    stages = _rest(spark, "/stages?status=complete")
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    if "--regen" in sys.argv or not (DST / "lineitem.parquet").exists():
+        print(f"generating sf1.0 under {DST} ({COPIES}x sf0.1, key-shifted)")
+        generate()
+
+    from pyspark.sql import functions as F
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-smoke", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df) -> int:
+        h = df.select(F.xxhash64(*df.columns).alias("_h"))
+        h.agg(F.bit_xor("_h")).collect()
+        return df.count()
+
+    # Warm JVM/codegen the same way bench.py does.
+    force(REGISTRY["tpch_q1_pricing_summary"].fn(spark, str(SRC)))
+
+    results: dict[str, dict] = {}
+    for sf_name, sf_dir in (("sf0.1", str(SRC)), ("sf1.0", str(DST))):
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            gc.collect()
+            r0, w0 = _shuffle_totals(spark)
+            t0 = time.perf_counter()
+            rows = force(REGISTRY[name].fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            r1, w1 = _shuffle_totals(spark)
+            results.setdefault(name, {})[sf_name] = {
+                "sec": round(dt, 2),
+                "rows": rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            }
+            print(f"{sf_name} {name}: {dt:.1f}s rows={rows} "
+                  f"shufW={(w1 - w0) / 1e6:.1f}MB", flush=True)
+
+    print("\n| query | sf0.1 s | sf1.0 s | time x | sf0.1 shufW MB |"
+          " sf1.0 shufW MB | shufW x | sf1.0 rows |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        a, b = r["sf0.1"], r["sf1.0"]
+        tx = b["sec"] / a["sec"] if a["sec"] else float("inf")
+        wx = (b["shuffle_write_mb"] / a["shuffle_write_mb"]
+              if a["shuffle_write_mb"] else float("inf"))
+        print(f"| {name} | {a['sec']} | {b['sec']} | {tx:.1f} |"
+              f" {a['shuffle_write_mb']} | {b['shuffle_write_mb']} |"
+              f" {wx:.1f} | {b['rows']} |")
+    (REPO / "SCALE_SMOKE_r06.json").write_text(
+        json.dumps(results, indent=1, sort_keys=True) + "\n"
+    )
+    print(f"\nwritten: {REPO / 'SCALE_SMOKE_r06.json'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
