@@ -34,9 +34,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # Local mode runs driver == all executors in ONE JVM; the Spark
+    # default (1g) starves AQE-elected broadcast builds well below the
+    # data scales this sandbox can hold (found by the round-6 sf1.0
+    # smoke: dedup CC died building a broadcast at 6M lineitem /
+    # 50k docs). 8g mirrors a small production driver; override with
+    # SPARK_GRAFT_DRIVER_MEM. Only effective for the process that
+    # launches the JVM — harmless on an already-running session.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -134,6 +134,75 @@ def test_next_round_defs_snapshot_is_current():
     )
 
 
+def test_defs_snapshots_cover_their_rounds_rosters():
+    """Every query with a CORRECTNESS row in round R must appear in
+    QUERY_DEFS_r{R}.json — otherwise change detection silently treats
+    it as unchanged forever (missing-snapshot fallback)."""
+    for cf in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rno = int(cf.stem.split("r")[-1])
+        df = REPO / f"QUERY_DEFS_r{rno:02d}.json"
+        assert df.exists(), f"no defs snapshot for round {rno}"
+        defs = json.loads(df.read_text())
+        missing = sorted(set(json.loads(cf.read_text())) - set(defs))
+        assert not missing, f"round {rno} roster missing from defs: {missing}"
+
+
+def _order(names, last, changed, pinned):
+    win = entry._seat_order(list(names), dict(last), set(changed), list(pinned))
+    return win[:WINDOW]
+
+
+def test_seat_order_synthetic_changed_jumps_staleness():
+    """Unit contract on a synthetic history: a changed r(max-1) row
+    outranks every unchanged r(max-2) row once seats run short."""
+    names = [f"q{i:03d}" for i in range(60)]
+    # q000..q049 confirmed in round 3 (stale), q050..q058 in round 4,
+    # q059 in round 5; q055 changed after its round-4 row.
+    last = {n: 3 for n in names[:50]}
+    last.update({n: 4 for n in names[50:59]})
+    last["q059"] = 5
+    win = _order(names, last, {"q055"}, [])
+    assert "q055" in win
+    # the one unchanged r03 row it displaced is the LAST-registered one
+    assert win.count("q055") == 1 and "q049" not in win
+
+
+def test_seat_order_synthetic_never_checked_leads():
+    names = [f"q{i:03d}" for i in range(55)]
+    last = {n: 2 for n in names[:54]}  # q054 never checked
+    win = _order(names, last, set(), [])
+    assert "q054" in win
+
+
+def test_seat_order_synthetic_valve_releases_for_changed_rows():
+    """When the changed set alone overflows the seats (changed rows
+    always sort to the front, so that is the only way one goes
+    unseated), a fresh, unchanged, releasable pin yields its seat."""
+    qs = [f"q{i:03d}" for i in range(50)]
+    names = qs + ["pin_a", "pin_b", "pin_c"]
+    last = {n: 5 for n in names}
+    last.update({n: 3 for n in qs})  # 50 changed rows vs 47 base seats
+    win = _order(names, last, set(qs), ["pin_a", "pin_b", "pin_c"])
+    assert "pin_a" in win and "pin_b" in win  # floor holds
+    assert "pin_c" not in win                 # released to a changed row
+    assert sum(1 for n in win if n in set(qs)) == 48
+
+
+def test_seat_order_synthetic_changed_pin_is_not_released():
+    """A pin that is ITSELF changed keeps its seat (it needs the
+    re-proof too) — the valve must release a different fresh pin."""
+    qs = [f"q{i:03d}" for i in range(50)]
+    names = qs + ["pin_a", "pin_b", "pin_c", "pin_d"]
+    last = {n: 5 for n in names}
+    last.update({n: 3 for n in qs})
+    last["pin_d"] = 3
+    win = _order(
+        names, last, set(qs) | {"pin_d"}, ["pin_a", "pin_b", "pin_c", "pin_d"]
+    )
+    assert "pin_d" in win, "changed pin lost its seat"
+    assert "pin_c" not in win  # the unchanged fresh pin was released
+
+
 def test_dump_tool_hash_matches_canonical():
     """tools/dump_query_defs.py carries a pinned inline copy of
     queries.defs.def_hash (so it can hash historical checkouts that
