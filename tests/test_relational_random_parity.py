@@ -89,7 +89,9 @@ def test_order_window_queries_match_oracle_on_tie_heavy_orders(
 _EVENT = st.tuples(
     st.integers(min_value=1, max_value=3),                       # user
     st.sampled_from(["click", "view", "purchase", "error"]),
-    st.sampled_from([0, 1, 2, 59, 60, 61, 1799, 1800, 1801, 3600]),
+    st.sampled_from(
+        [0, 1, 2, 59, 60, 61, 599, 600, 601, 1799, 1800, 1801, 3600]
+    ),
     st.integers(min_value=0, max_value=99_999),                  # cents
 )
 _EVENTS = st.lists(_EVENT, min_size=2, max_size=40)
@@ -98,6 +100,9 @@ _EVENT_QUERIES = [
     "events_sessionization",
     "events_asof_last_purchase",
     "events_mad_outliers",
+    # bucketed range join: the ts pool lands clicks exactly ON the
+    # 600 s bucket edge and both sides of the 10-minute window bound
+    "events_error_click_window",
 ]
 
 
