@@ -133,7 +133,10 @@ def connected_components(
 
 
 def weighted_pagerank(
-    edges: DataFrame, n_iter: int = 5, scale: int = 1_000_000
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+    truncate_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank, damping 0.85, FIXED iteration count, exact
     integer arithmetic: ranks are scaled integers (start = `scale`),
@@ -153,6 +156,14 @@ def weighted_pagerank(
     int64 headroom: rank mass is bounded by |V|*scale, so
     rank*weight needs |V|*scale*max_w < 2^63 — at web scale move
     `scale` down or the contribution column to decimal(38,0).
+
+    ``truncate_every``: lineage is truncated (eager localCheckpoint)
+    every k rounds instead of every round (round-6 measurement: each
+    eager checkpoint is a full job launch, which DOMINATED the fixed
+    5-round run on a dimension-sized graph). Plan depth between
+    truncations stays bounded at k joins — safe at any scale — and
+    the FINAL ranks are always checkpointed so the returned frame is
+    materialized before the cached adjacency is unpersisted.
     """
     adj = edges.select("src", "dst", F.col("weight").alias("w"))
     outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -168,24 +179,22 @@ def weighted_pagerank(
         "node", F.lit(scale).cast("long").alias("r")
     ).localCheckpoint()
     try:
-        for _ in range(n_iter):
+        for i in range(n_iter):
             contrib = (
                 adj.join(ranks, adj.src == ranks.node)
                 .select(F.col("dst").alias("node"), F.expr("(r * w) div ow").alias("c"))
                 .groupBy("node")
                 .agg(F.sum("c").alias("inflow"))
             )
-            ranks = (
-                nodes.join(contrib, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base).cast("long")
-                        + F.expr("(85 * coalesce(inflow, 0L)) div 100")
-                    ).alias("r"),
-                )
-                .localCheckpoint()
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                ).alias("r"),
             )
+            if (i + 1) % truncate_every == 0 or i == n_iter - 1:
+                ranks = ranks.localCheckpoint()
         return ranks.select("node", F.col("r").alias("rank_scaled"))
     finally:
         adj.unpersist()
