@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import pathlib
-import re
 import sys
 import time
 
@@ -158,13 +157,13 @@ def main() -> None:
     # re-running (round-5 verdict task 3). Named for the round the
     # driver is about to record (max CORRECTNESS round + 1).
     if len(full) > len(timings):
+        # Round discovery lives in ONE place: the driver contract's
+        # CORRECTNESS scan (code-review r06 — a second glob+regex copy
+        # here could silently diverge from the contract's naming).
+        import __spark_entry__ as _entry
+
         repo = pathlib.Path(__file__).resolve().parent
-        rounds = [
-            int(m.group(1))
-            for f in repo.glob("CORRECTNESS_r*.json")
-            if (m := re.search(r"r(\d+)", f.stem))
-        ]
-        rno = max(rounds, default=0) + 1
+        rno = max(_entry._last_checked_round().values(), default=0) + 1
         (repo / f"BENCH_FULL_r{rno:02d}.json").write_text(
             json.dumps(
                 {

@@ -103,7 +103,14 @@ def test_changed_queries_jump_the_queue():
     names = list(entry.queries())
     window = set(names[:WINDOW])
     unseated = sorted(n for n in changed if n not in window)
-    overflow_budget = max(0, len(changed) - WINDOW)
+    # Budget must count the pins that legitimately hold seats a
+    # changed row could not take (mirrors the sibling never-checked
+    # budget at line 59; a plain len(changed) - WINDOW fires
+    # spuriously once the changed set reaches WINDOW - floor).
+    pinned_seated = sum(
+        1 for n in entry._PINNED_KV if n in window and n not in changed
+    )
+    overflow_budget = max(0, len(changed) + pinned_seated - WINDOW)
     assert len(unseated) <= overflow_budget, (
         f"changed-since-confirmation queries left outside the window "
         f"while unchanged rows hold seats: {unseated}"
@@ -147,8 +154,10 @@ def test_defs_snapshots_cover_their_rounds_rosters():
         assert not missing, f"round {rno} roster missing from defs: {missing}"
 
 
-def _order(names, last, changed, pinned):
-    win = entry._seat_order(list(names), dict(last), set(changed), list(pinned))
+def _order(names, last, changed, pinned, floor=entry._PIN_FLOOR):
+    win = entry._seat_order(
+        list(names), dict(last), set(changed), list(pinned), floor
+    )
     return win[:WINDOW]
 
 
@@ -201,6 +210,28 @@ def test_seat_order_synthetic_changed_pin_is_not_released():
     )
     assert "pin_d" in win, "changed pin lost its seat"
     assert "pin_c" not in win  # the unchanged fresh pin was released
+
+
+def test_seat_order_degraded_pins_floor_tracks_guarded_names():
+    """If a name-guarded pin ever left the registry, the valve floor
+    must shrink to the guarded pins actually present — a count floor
+    would stop early and shield an unguarded fresh pin from release
+    (code-review r06). Simulated: only ONE never-release pin present,
+    two releasable fresh pins, needy changed rows for both seats."""
+    qs = [f"q{i:03d}" for i in range(50)]
+    guarded = sorted(entry._NEVER_RELEASE)[0]
+    names = qs + [guarded, "pin_x", "pin_y"]
+    last = {n: 5 for n in names}
+    last.update({n: 3 for n in qs})
+    win = _order(
+        names, last, set(qs), [guarded, "pin_x", "pin_y"],
+        floor=1,  # what _ordered_names computes for one guarded pin
+    )
+    assert guarded in win, "name-guarded pin lost its seat"
+    assert "pin_x" not in win and "pin_y" not in win, (
+        "releasable fresh pins kept seats while changed rows waited"
+    )
+    assert sum(1 for n in win if n in set(qs)) == 49
 
 
 def test_dump_tool_hash_matches_canonical():

@@ -12,20 +12,26 @@ SCALE.md §Cold re-measures), not as a confirmed regression.
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.25
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(
-                sys.argv[sys.argv.index(a) + 1]
-            )
-    old = json.load(open(args[0]))["queries"]
-    new = json.load(open(args[1]))["queries"]
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old_file")
+    p.add_argument("new_file")
+    p.add_argument("--threshold", type=float, default=1.25)
+    ns = p.parse_args()
+    thr = ns.threshold
+    old_doc = json.load(open(ns.old_file))
+    new_doc = json.load(open(ns.new_file))
+    if old_doc.get("sf") != new_doc.get("sf"):
+        print(
+            f"WARNING: scale factors differ ({old_doc.get('sf')} vs "
+            f"{new_doc.get('sf')}) — ratios below compare different data sizes"
+        )
+    old = old_doc["queries"]
+    new = new_doc["queries"]
     both = sorted(set(old) & set(new))
     print(f"overlap {len(both)} queries; "
           f"sum {sum(old[k] for k in both):.1f}s -> "

@@ -115,7 +115,8 @@ def generate() -> None:
                     ELSE text || ' copyvariant' || CAST(i AS VARCHAR) END AS text,
                lang, source,
                n_chars + CASE WHEN i = 0 THEN 0
-                              ELSE 13 + len(CAST(i AS VARCHAR)) END AS n_chars
+                              ELSE len(' copyvariant') + len(CAST(i AS VARCHAR))
+                         END AS n_chars
         FROM read_parquet('{src}'), {copies} AS t(i)""".replace("{shift}", str(_SHIFT)))
     emit("embeddings", """
         SELECT vec_id + i*{shift} AS vec_id,
@@ -144,7 +145,10 @@ def _shuffle_totals(spark) -> tuple[int, int]:
 
 
 def main() -> None:
-    if "--regen" in sys.argv or not (DST / "lineitem.parquet").exists():
+    # Sentinel is the LAST-written table, so an interrupted generation
+    # (lineitem present, documents/embeddings missing) regenerates
+    # instead of crashing or reading stale files downstream.
+    if "--regen" in sys.argv or not (DST / "embeddings.parquet").exists():
         print(f"generating sf1.0 under {DST} ({COPIES}x sf0.1, key-shifted)")
         generate()
 
@@ -154,7 +158,18 @@ def main() -> None:
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
 
     spark = get_spark(
-        app_name="scale-smoke", extra_conf={"spark.ui.enabled": "true"}
+        app_name="scale-smoke",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # Shuffle deltas sum over ALL completed stages; if the
+            # status store evicted stages between the r0 and r1 reads
+            # (default retainedStages=1000, and the iterative CC/
+            # PageRank queries burn stages fast at sf1.0), deltas go
+            # negative/undercounted silently. Retain far more than a
+            # full run produces.
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
