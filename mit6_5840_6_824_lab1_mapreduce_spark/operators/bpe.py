@@ -114,11 +114,16 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     seq = word_symseq(words).localCheckpoint()
     merges: list[DataFrame] = [empty]
     for rank in range(1, n_merges + 1):
+        # Lazy checkpoints (round-6): the dry-run probe below is the
+        # action that materializes `best`, and the NEXT round's pair
+        # aggregate materializes the rewritten `seq` — one job per
+        # round instead of three (each eager checkpoint ran its own).
+        # Lineage depth between truncations stays at one rewrite step.
         best = (
             adjacent_pair_counts(seq)
             .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Candidates can run dry before n_merges (every word fully
         # merged): stop cleanly with the rules learned so far rather
@@ -145,7 +150,7 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
                     ),
                 )
                 .drop("left_sym", "right_sym", "pair_count")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return reduce(DataFrame.unionByName, merges)
 

@@ -105,8 +105,13 @@ def connected_components(
             # step — two joins per checkpoint to halve the per-round
             # job count — was measured 50% SLOWER at bench scale: the
             # deeper per-round lineage costs more than the saved job
-            # launches. Keep the loop shape simple.)
-            new_labels = propagate(labels).localCheckpoint()
+            # launches. Keep the loop shape simple.) The checkpoint is
+            # LAZY: the convergence count is the action that
+            # materializes it, so each round launches one job, not two
+            # (an eager checkpoint ran its own job and the count a
+            # second — measured round-6, the extra launch was pure
+            # overhead since the count touches every partition anyway).
+            new_labels = propagate(labels).localCheckpoint(eager=False)
             changed = new_labels.where("_chg").count()
             labels = new_labels.drop("_chg")
             if changed == 0:

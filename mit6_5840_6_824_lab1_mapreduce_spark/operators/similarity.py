@@ -401,7 +401,20 @@ def lsh_near_pairs(
     used at 100 TB where the exact product is impossible."""
     planes = planes or hyperplanes()
     v = embeddings_quantized(emb).withColumn("bucket", lsh_bucket(F.col("q"), planes))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("q").alias("qa"), F.col("n2").alias("na"))
+    # Spread the PROBE side round-robin: when the build side is
+    # broadcast (any corpus below the auto-broadcast threshold, and
+    # every local-testdata run — one parquet file = 1-2 input splits),
+    # probe parallelism equals input splits, so bucket scoring ran on
+    # ~2 cores (sf1.0 smoke measurement: 31 s with 30 cores idle).
+    # Round-robin rather than by bucket: each task probes the full
+    # broadcast map, so hot buckets (near-dup cliques) spread across
+    # tasks instead of landing on one. At corpus scale the build side
+    # exceeds the broadcast threshold and Catalyst switches to a
+    # shuffle join on bucket (AQE handles the skewed buckets); this
+    # repartition then just sizes the probe-side exchange.
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("q").alias("qa"), F.col("n2").alias("na")).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
     b = v.select(F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
     pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
     return pairs.select(

@@ -43,7 +43,12 @@ DST = REPO / "scale_data" / "sf1.0"
 COPIES = 10
 
 # The five most expensive r05 queries (judge's list) plus a pure-scan
-# baseline whose cost must track raw data volume.
+# baseline whose cost must track raw data volume, plus the similarity
+# family's scale pair: the INTENTIONALLY quadratic exact-cosine
+# baseline (expected ~100x pair-work at 10x rows — the documented
+# reason it is size-gated at 10^5 vectors) against the sub-quadratic
+# LSH bucket join that replaces it at scale, with query-time ANN as
+# the read path.
 QUERIES = [
     "tpch_q1_pricing_summary",
     "profile_orders_columns",
@@ -51,6 +56,9 @@ QUERIES = [
     "pipeline_clean_corpus",
     "corpus_leakage_safe_split",
     "graph_pagerank_nations",
+    "dedup_embedding_cosine",
+    "similarity_lsh_near_pairs",
+    "similarity_ann_lsh",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
