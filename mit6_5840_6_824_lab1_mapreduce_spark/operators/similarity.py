@@ -50,12 +50,23 @@ def cosine(a_q: Column, b_q: Column, a_n2: Column, b_n2: Column) -> Column:
     """cosine from quantized vectors + precomputed squared norms, at
     6dp via det_round (deterministic: exact integer inputs, correctly
     rounded sqrt/divide; native round(double, 6) is tie-divergent
-    cross-engine — round-5 sweep)."""
+    cross-engine — round-5 sweep).
+
+    Zero-norm contract (round-6): a vector whose every component
+    quantizes to 0 (a dead embedding, or all |x| < 0.5e-6) has no
+    direction — cosine is NULL, and threshold/top-k predicates drop
+    the row on BOTH engines (NULL >= t filters in Spark and DuckDB
+    alike). Without the guard, Spark under ANSI mode THROWS
+    DIVIDE_BY_ZERO on double division while DuckDB yields NULL — a
+    single dead embedding anywhere in a 100 TB corpus would kill the
+    whole job. try_divide is the Spark-side NULL-division idiom."""
     from ..queries._util import det_round_col
 
     return det_round_col(
-        dot_ll(a_q, b_q)
-        / (F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))),
+        F.try_divide(
+            dot_ll(a_q, b_q),
+            F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double")),
+        ),
         6,
     )
 
