@@ -53,6 +53,16 @@ def merge_upsert(
 
     Within a single batch, `order_col` (descending) picks the winner
     among duplicate keys; across batch-vs-existing the batch wins.
+
+    Precondition (standard for partition-scoped MERGE): a key's
+    partition value is stable — an update must arrive in the
+    partition the key already lives in (true by construction when
+    the partition derives from the key, e.g. an event's day). An
+    update that MOVES a key to a new partition would insert it there
+    while the stale row survives in the old, untouched partition;
+    only a full-key merge (scan all partitions) can honor moves, and
+    that forfeits the touched-partitions-only scaling this operator
+    exists for.
     """
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
