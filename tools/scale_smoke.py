@@ -59,6 +59,16 @@ QUERIES = [
     "dedup_embedding_cosine",
     "similarity_lsh_near_pairs",
     "similarity_ann_lsh",
+    # Late round-6 widening: one representative per remaining family
+    # whose scale behavior was argued but never executed past sf0.1 —
+    # the full export composition, a scaled-integer sketch, the
+    # iterative BPE learner, session windowing over the event log,
+    # and the fused Arrow decode path.
+    "pipeline_training_export",
+    "sketch_histogram_quantiles",
+    "tokenizer_bpe_merges",
+    "events_sessionization",
+    "multimodal_feature_extract",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
