@@ -43,8 +43,12 @@ def read_csv(
 
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows, quarantined_rows): clean rows drop the quarantine
-    column; quarantined rows keep the FULL row (typed columns are
-    nulled by PERMISSIVE, `_corrupt_record` holds the raw line).
+    column; quarantined rows keep the FULL row — `_corrupt_record`
+    holds the raw line, and the typed columns carry whatever
+    PERMISSIVE could still parse (CSV keeps per-column partials: a
+    bad long nulls only that column; under-/over-length rows keep
+    the matching prefix — unlike the JSON edge, which nulls every
+    typed column of a corrupt line; measured, round 6).
     Spark refuses predicates over ONLY the corrupt column of a raw
     CSV scan (it would require a second parse); caching the parsed
     batch first is the documented pattern (same as the jsonl edge).
