@@ -99,28 +99,15 @@ def main() -> None:
         "orders_top3_per_customer",   # window rank
     ):
         REGISTRY[warm_q].fn(spark, warm_sf).count()
-    # Warm the Python worker pool (one pandas/pyarrow import per core):
+    # Warm the Python worker pool (one pandas/pyarrow import per core,
+    # two layers deep — rationale in session.warm_python_worker_pool):
     # Arrow-UDF stages otherwise pay ~8s of one-time fork+import cost
-    # that says nothing about operator throughput. The warm CHAINS two
-    # mapInPandas stages because a task with two chained Python
-    # operators holds two workers at once — a query shaped that way
-    # (multimodal_audio_decode's build->parse pipeline) draws from a
-    # 2x-deep pool, and priming only n_workers workers leaves its
-    # second stage to fork+import inside the timing window.
-    n_workers = spark.sparkContext.defaultParallelism
+    # that says nothing about operator throughput.
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import (
+        warm_python_worker_pool,
+    )
 
-    def _noop(batches):
-        yield from batches
-
-    def _warm_pool() -> None:
-        (
-            spark.range(n_workers * 4, numPartitions=n_workers)
-            .mapInPandas(_noop, schema="id long")
-            .mapInPandas(_noop, schema="id long")
-            .count()
-        )
-
-    _warm_pool()
+    warm_python_worker_pool(spark)
 
     from pyspark.sql import functions as F
 
@@ -146,20 +133,18 @@ def main() -> None:
             # queries' accumulated checkpoint blocks.
             spark.catalog.clearCache()
             gc.collect()
-            # Worker-pool hygiene: PythonWorkerFactory culls idle
-            # pooled workers after a HARDCODED 1 minute
-            # (IDLE_WORKER_TIMEOUT_NS, no conf knob), so an Arrow-stage
-            # query that happens to follow >60s of JVM-only queries
-            # pays fork+pandas-import per core inside its timing
-            # window. Measured: multimodal_audio_decode (the one query
-            # with TWO chained Python stages, so it needs the 2x-deep
-            # pool the double warm primes) read 6.5-12.4s across
-            # otherwise-identical r06 full-suite runs vs 0.8-1.2s with
-            # a warm pool; its slow stage showed 210s executor time
-            # against 0.8s CPU — pure worker-startup blocking. The
-            # re-warm is outside the timed region: timings measure the
-            # query, not the pool state the suite ordering left behind.
-            _warm_pool()
+            # Worker-pool hygiene (full rationale + measurements in
+            # session.warm_python_worker_pool): re-warm before EVERY
+            # timed query, outside the timed region, so an Arrow-stage
+            # query following >60s of JVM-only queries doesn't pay
+            # fork+pandas-import per core inside its timing window.
+            # Deliberately unconditional (round-6 review weighed a
+            # Python-stage allowlist): a warm-pool warm costs ~0.1-0.2s
+            # of untimed wall — ~30s across the suite — while an
+            # allowlist that rots reintroduces the 6.5-12.4s per-query
+            # artifact this fixed; recorded timings are unaffected
+            # either way.
+            warm_python_worker_pool(spark)
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))

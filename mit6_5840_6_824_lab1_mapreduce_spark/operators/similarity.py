@@ -54,9 +54,12 @@ def cosine(a_q: Column, b_q: Column, a_n2: Column, b_n2: Column) -> Column:
 
     Zero-norm contract (round-6): a vector whose every component
     quantizes to 0 (a dead embedding, or all |x| < 0.5e-6) has no
-    direction — cosine is NULL, and threshold/top-k predicates drop
-    the row on BOTH engines (NULL >= t filters in Spark and DuckDB
-    alike). Without the guard, Spark under ANSI mode THROWS
+    direction — cosine is NULL. Threshold predicates (cos >= t) drop
+    such rows on BOTH engines; top-k paths do NOT drop them — both
+    engines sort NULLS LAST under DESC, so NULL-cos rows can still
+    fill out the k when a bucket holds fewer than k live candidates
+    (consumers must treat cos as nullable). Without the guard, Spark
+    under ANSI mode THROWS
     DIVIDE_BY_ZERO on double division while DuckDB yields NULL — a
     single dead embedding anywhere in a 100 TB corpus would kill the
     whole job. try_divide is the Spark-side NULL-division idiom."""
@@ -412,20 +415,25 @@ def lsh_near_pairs(
     used at 100 TB where the exact product is impossible."""
     planes = planes or hyperplanes()
     v = embeddings_quantized(emb).withColumn("bucket", lsh_bucket(F.col("q"), planes))
-    # Spread the PROBE side round-robin: when the build side is
-    # broadcast (any corpus below the auto-broadcast threshold, and
-    # every local-testdata run — one parquet file = 1-2 input splits),
-    # probe parallelism equals input splits, so bucket scoring ran on
-    # ~2 cores (sf1.0 smoke measurement: 31 s with 30 cores idle).
-    # Round-robin rather than by bucket: each task probes the full
-    # broadcast map, so hot buckets (near-dup cliques) spread across
-    # tasks instead of landing on one. At corpus scale the build side
-    # exceeds the broadcast threshold and Catalyst switches to a
-    # shuffle join on bucket (AQE handles the skewed buckets); this
-    # repartition then just sizes the probe-side exchange.
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("q").alias("qa"), F.col("n2").alias("na")).repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
-    )
+    # Spread the PROBE side round-robin — but ONLY when the scan is
+    # under-parallel: with the build side broadcast (any corpus below
+    # the auto-broadcast threshold, and every local-testdata run — one
+    # parquet file = 1-2 input splits), probe parallelism equals input
+    # splits, so bucket scoring ran on ~2 cores (sf1.0 smoke
+    # measurement: 31 s with 30 cores idle). Round-robin rather than
+    # by bucket: each task probes the full broadcast map, so hot
+    # buckets (near-dup cliques) spread across tasks instead of
+    # landing on one. The gate matters at corpus scale: there the
+    # build side exceeds the broadcast threshold, Catalyst shuffles
+    # BOTH sides on bucket (AQE splits the skewed ones), and an
+    # unconditional round-robin repartition cannot satisfy that
+    # join's hash requirement — it would stack a second full shuffle
+    # of the probe table on top (round-6 review finding). A
+    # well-partitioned scan skips it entirely.
+    sc = emb.sparkSession.sparkContext
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("q").alias("qa"), F.col("n2").alias("na"))
+    if v.rdd.getNumPartitions() < sc.defaultParallelism:
+        a = a.repartition(sc.defaultParallelism)
     b = v.select(F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
     pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
     return pairs.select(

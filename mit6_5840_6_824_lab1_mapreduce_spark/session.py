@@ -59,3 +59,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warm_python_worker_pool(spark: SparkSession) -> None:
+    """Prime the Python worker pool TWO-DEEP (round-6 measurement;
+    shared by bench.py and tools/scale_smoke.py so the invariant
+    cannot drift between them):
+
+    - `PythonWorkerFactory` culls idle pooled workers after a
+      HARDCODED 1 minute (no conf knob), and each re-fork pays the
+      pandas/pyarrow import — inside whatever job runs next.
+    - A task whose plan chains TWO Python operators holds two workers
+      at once, so such a query (multimodal_audio_decode's unfused
+      build→parse pipeline) draws on a 2x-deep pool; priming only
+      one layer leaves its second stage to fork+import mid-query
+      (measured: 210 s blocked executor time vs 0.8 s CPU).
+
+    If any query ever chains a THIRD Python stage, add a third
+    `.mapInPandas` hop here."""
+    n = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    (
+        spark.range(n * 4, numPartitions=n)
+        .mapInPandas(_noop, schema="id long")
+        .mapInPandas(_noop, schema="id long")
+        .count()
+    )

@@ -196,3 +196,18 @@ def test_task_parallelism(spark, n_parts):
     rdd = spark.sparkContext.parallelize(CORPUS, n_parts)
     pids = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     assert len(pids) == n_parts
+
+
+def test_duckdb_double_division_by_zero_yields_null():
+    """Environment guard (round-6 review): the zero-norm cosine parity
+    (operators/similarity.py `cosine` — Spark try_divide -> NULL)
+    relies on DuckDB's pre-1.1 double division, where x/0.0 is NULL.
+    DuckDB 1.1+ defaults `ieee_floating_point_ops=true` (x/0.0 = inf,
+    which sorts FIRST under ORDER BY cos DESC while NULL sorts last),
+    so an environment rebuild pulling a newer duckdb would silently
+    flip every zero-norm similarity compare. If this assert fires:
+    pin duckdb<1.1, or SET ieee_floating_point_ops=false on every
+    oracle connection and re-verify the similarity family."""
+    import duckdb
+
+    assert duckdb.sql("SELECT 1.0/0.0").fetchone()[0] is None

@@ -199,31 +199,21 @@ def main() -> None:
     # Warm JVM/codegen the same way bench.py does.
     force(REGISTRY["tpch_q1_pricing_summary"].fn(spark, str(SRC)))
 
-    # Python worker pool warm, re-issued per query below: the factory
+    # Python worker pool warm, re-issued per query below (rationale +
+    # measurements in session.warm_python_worker_pool): the factory
     # culls idle pooled workers after a hardcoded 1 minute, so a query
     # following a long JVM-only stretch would otherwise pay
-    # fork+pandas-import per core inside its timing window. Chained
-    # double mapInPandas because a task with two chained Python
-    # operators holds two workers at once (see bench.py).
-    n_workers = spark.sparkContext.defaultParallelism
-
-    def _noop(batches):
-        yield from batches
-
-    def _warm_pool() -> None:
-        (
-            spark.range(n_workers * 4, numPartitions=n_workers)
-            .mapInPandas(_noop, schema="id long")
-            .mapInPandas(_noop, schema="id long")
-            .count()
-        )
+    # fork+pandas-import per core inside its timing window.
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import (
+        warm_python_worker_pool,
+    )
 
     results: dict[str, dict] = {}
     for sf_name, sf_dir in (("sf0.1", str(SRC)), ("sf1.0", str(DST))):
         for name in QUERIES:
             spark.catalog.clearCache()
             gc.collect()
-            _warm_pool()
+            warm_python_worker_pool(spark)
             r0, w0 = _shuffle_totals(spark)
             t0 = time.perf_counter()
             rows = force(REGISTRY[name].fn(spark, sf_dir))
