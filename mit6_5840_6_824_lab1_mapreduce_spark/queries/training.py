@@ -402,7 +402,8 @@ MIX_BUDGET_TOKENS = 1_000_000
       FROM s
     ),
     t AS (
-      SELECT *, CAST(wgt AS DOUBLE) / CAST(sum(wgt) OVER () AS DOUBLE)
+      SELECT *, CAST(wgt AS DOUBLE)
+                  / nullif(CAST(sum(wgt) OVER () AS DOUBLE), 0)
                   AS target_share,
              sum(total_tokens) OVER () AS tt
       FROM w
@@ -410,7 +411,7 @@ MIX_BUDGET_TOKENS = 1_000_000
     SELECT source, n_docs, total_tokens,
            {exact_ratio_wide_sql('total_tokens', 'tt')} AS natural_share,
            {det_round_sql('target_share')} AS target_share,
-           {det_round_sql(f'target_share * {MIX_BUDGET_TOKENS} / total_tokens')} AS epochs
+           {det_round_sql(f'target_share * {MIX_BUDGET_TOKENS} / nullif(total_tokens, 0)')} AS epochs
     FROM t
     """,
 )
@@ -439,7 +440,15 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     wgt = det_round_col(F.sqrt(F.col("total_tokens").cast("double"))).cast(
         "decimal(28,6)"
     )
-    target = wgt.cast("double") / F.sum(wgt).over(wall).cast("double")
+    # nullif on BOTH divisors (round-6 fuzz finding): an all-empty
+    # corpus zeroes sum(wgt) and an empty SOURCE zeroes total_tokens —
+    # under ANSI the bare division THROWS, so one all-empty ingest
+    # shard would kill the whole job; shares/epochs of nothing are
+    # NULL on both engines (the oracle spells nullif too rather than
+    # leaning on DuckDB's version-dependent 0-division).
+    target = wgt.cast("double") / F.nullif(
+        F.sum(wgt).over(wall).cast("double"), F.lit(0.0)
+    )
     return s.withColumn(
         "tt", F.sum("total_tokens").over(wall)
     ).select(
@@ -451,6 +460,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_ratio_wide_spark("total_tokens", "tt").alias("natural_share"),
         det_round_col(target).alias("target_share"),
         det_round_col(
-            target * MIX_BUDGET_TOKENS / F.col("total_tokens")
+            target * MIX_BUDGET_TOKENS
+            / F.nullif(F.col("total_tokens").cast("double"), F.lit(0.0))
         ).alias("epochs"),
     )
