@@ -191,7 +191,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (
       SELECT vec_id, q.label, qv, amax_q,
              list_transform(qv,
-               x -> CAST(round(x * 127.0 / amax_q) AS BIGINT)) AS q8
+               x -> CAST(round(x * 127.0 / nullif(amax_q, 0)) AS BIGINT))
+               AS q8
       FROM q JOIN am ON q.label = am.label
     )
     SELECT vec_id, label, amax_q,
@@ -226,11 +227,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("qv", lambda x: F.abs(x)))
         ).alias("amax_q")
     )
+    # nullif on the scale (round-6 fuzz class): a label whose every
+    # embedding quantizes to zero (dead vectors) has amax_q = 0, and
+    # 0.0/0 THROWS under ANSI — one dead label would kill the job.
+    # Quantization against a zero scale is undefined: q8/sums are
+    # NULL on both engines (oracle spells nullif too).
     j = q.join(F.broadcast(am), "label").withColumn(
         "q8",
         F.transform(
             "qv",
-            lambda x: F.round(x * 127.0 / F.col("amax_q"), 0).cast("long"),
+            lambda x: F.round(
+                x * 127.0
+                / F.nullif(F.col("amax_q").cast("double"), F.lit(0.0)),
+                0,
+            ).cast("long"),
         ),
     )
     err = F.zip_with(

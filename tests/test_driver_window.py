@@ -197,6 +197,28 @@ def test_seat_order_synthetic_valve_releases_for_changed_rows():
     assert sum(1 for n in win if n in set(qs)) == 48
 
 
+def test_seat_order_synthetic_one_round_old_pin_yields_to_changed():
+    """Round-6 widening: a pin confirmed ONE round ago (not fresh,
+    not needy) also yields to an otherwise-unseated changed row — but
+    a pin that is itself >= 2 rounds stale keeps its seat (it is as
+    needy as the row it would unblock)."""
+    qs = [f"q{i:03d}" for i in range(49)]
+    names = qs + ["pin_a", "pin_b", "pin_old", "pin_stale"]
+    last = {n: 5 for n in names}
+    last.update({n: 3 for n in qs})  # 49 changed rows vs 46 base seats
+    last["pin_old"] = 4    # one round old: releasable
+    last["pin_stale"] = 3  # two rounds stale: needy itself, keeps seat
+    win = _order(
+        names, last, set(qs), ["pin_a", "pin_b", "pin_old", "pin_stale"]
+    )
+    assert "pin_old" not in win, "one-round-old pin blocked a changed row"
+    assert "pin_stale" in win, "needy pin lost its seat"
+    # the valve keeps releasing down to the floor (pin_b goes too),
+    # so 48 of the 49 changed rows seat alongside the two kept pins
+    assert "pin_b" not in win and "pin_a" in win
+    assert sum(1 for n in win if n in set(qs)) == 48
+
+
 def test_seat_order_synthetic_changed_pin_is_not_released():
     """A pin that is ITSELF changed keeps its seat (it needs the
     re-proof too) — the valve must release a different fresh pin."""
@@ -275,15 +297,16 @@ def test_pin_release_valve_seats_stale_rows():
         and (n in changed or last.get(n, 0) <= max_round - 2)
     ]
     if needy_out:
-        # valve exhausted: no RELEASABLE pin (fresh, not name-guarded,
-        # not itself changed) may still hold a seat a needy row could
-        # use — a pin that is itself stale or changed legitimately
-        # keeps its seat (it needs the re-proof too).
+        # valve exhausted: no RELEASABLE pin (not name-guarded, not
+        # itself changed, confirmed within the last two rounds) may
+        # still hold a seat a needy row could use — a pin that is
+        # itself >= 2 rounds stale or changed legitimately keeps its
+        # seat (it needs the re-proof too).
         releasable = [
             n for n in pinned_in
             if n not in entry._NEVER_RELEASE
             and n not in changed
-            and last.get(n, 0) >= max_round
+            and last.get(n, 0) > max_round - 2
         ]
         assert not releasable, (
             f"needy rows unseated while releasable pins remain: "

@@ -65,7 +65,28 @@ _SIM_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "embedding_norm_stats",
+    "embedding_quantize_int8",
 ]
+
+
+def test_all_dead_label_quantizes_to_null_not_crash(spark, tmp_path):
+    """Regression pin (round-6 fuzz class): a label whose EVERY
+    embedding quantizes to zero has amax_q = 0; the int8 quantization
+    must emit NULL certificates for that label on both engines, not
+    throw DIVIDE_BY_ZERO under ANSI. Label layout is i % 3, so six
+    vectors with _ZERO/_EPSILON at positions 0 and 3 make label 0
+    entirely dead while labels 1-2 stay live."""
+    vectors = [
+        _ZERO,          # label 0 (dead)
+        _PATTERNS[0],   # label 1
+        _PATTERNS[1],   # label 2
+        _EPSILON,       # label 0 (dead: quantizes to zero)
+        _PATTERNS[2],   # label 1
+        2.0 * _PATTERNS[0],  # label 2
+    ]
+    _write_embeddings(tmp_path, vectors)
+    e = REGISTRY["embedding_quantize_int8"]
+    compare_query(spark, e.fn, e.oracle, str(tmp_path), name="dead-label-q8")
 
 
 def _run_all(spark, tmp) -> None:
