@@ -170,11 +170,19 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_props_json",
     oracle=r"""
-    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    WITH ex AS (
+      SELECT CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
+                       IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k,
+             value
+      FROM events
+    )
+    SELECT k % 10 AS k_bucket,
            count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    FROM ex
+    WHERE k IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -183,7 +191,16 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed schema (from_json — JVM-side, no Python), bucket by the
     extracted field, aggregate. At scale, promote hot JSON fields to
     columns at ingest; this query is the probe pattern for the long
-    tail that stays JSON."""
+    tail that stays JSON.
+
+    Typed-field contract (and the oracle's twin of it): the field
+    survives ONLY when the JSON value is an integral number fitting
+    int64 — strings ("12"), doubles, bools, nulls, missing keys,
+    malformed JSON, and out-of-range numbers all become NULL and are
+    filtered, exactly as Spark's PERMISSIVE from_json does. The
+    oracle needs json_type() + TRY_CAST to say the same thing: a
+    plain CAST(json_extract(..)) throws on non-numeric values
+    (round-6 unicode sweep, props = '{"k": "héllo"}')."""
     ev = table(spark, sf_dir, "events")
     parsed = ev.withColumn(
         "k", F.from_json("props", "struct<k: bigint>").getField("k")

@@ -329,9 +329,10 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'video' END AS modality,
            length(text) AS orig_bytes,
            CAST(length(text) + 3 AS BIGINT) // 4 AS resized_bytes,
-           md5(array_to_string(
+           md5(coalesce(array_to_string(
                  list_transform(range(1, length(text) + 1, 4),
-                                i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_digest
+                                i -> substr(text, CAST(i AS INTEGER), 1)), ''), ''))
+             AS resized_digest
     FROM documents
     """,
 )

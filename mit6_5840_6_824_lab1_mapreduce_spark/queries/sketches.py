@@ -437,7 +437,12 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = F.col("cum") * 100 >= F.col("total") * p
         aggs.append(F.min(F.when(hit, F.col("rn"))).alias(f"v{p}"))
         aggs.append(F.min(F.when(hit, F.col("cum"))).alias(f"c{p}"))
-    marks = ranked.groupBy().agg(*aggs)
+    # total IS NULL only when the corpus has zero tokens: the global
+    # aggregate always emits one row, but the oracle's GROUP BY total
+    # emits none — "no tokens -> no coverage marks" is the contract
+    # (round-6 degenerate-input sweep: Spark emitted 4 all-NULL rows
+    # on an empty corpus, the oracle 0).
+    marks = ranked.groupBy().agg(*aggs).where(F.col("total").isNotNull())
     stack = ", ".join(
         f"CAST({p} AS INT), v{p}, c{p}" for p in _COVERAGE_PCTS
     )
@@ -600,7 +605,7 @@ _JK_U_SQL = (
            kth_hash, m AS m_merged, c AS n_both, n_true,
            {det_round_sql(_JK_U_SQL, 4)} AS union_est,
            {exact_ratio_sql('c', 'm')} AS jaccard_est,
-           {det_round_sql(f"(CAST(c AS DOUBLE) / m) * ({_JK_U_SQL})", 4)} AS inter_est
+           {det_round_sql(f"(CAST(c AS DOUBLE) / nullif(m, 0)) * ({_JK_U_SQL})", 4)} AS inter_est
     FROM mstat, istat, tstat
     """,
 )
@@ -669,8 +674,13 @@ def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         det_round_spark(u_raw, 4).alias("union_est"),
         exact_ratio_spark("n_both", "m_merged").alias("jaccard_est"),
+        # nullif on BOTH engines: an empty merged sketch (both inputs
+        # empty) has m_merged = 0, and this raw double division was
+        # the one unguarded 0-divisor in the query — ANSI Spark threw
+        # DIVIDE_BY_ZERO while the guarded ratios yielded NULL (found
+        # by the round-6 registry-wide degenerate-input sweep).
         det_round_spark(
-            f"(CAST(n_both AS DOUBLE) / m_merged) * ({u_raw})", 4
+            f"(CAST(n_both AS DOUBLE) / nullif(m_merged, 0)) * ({u_raw})", 4
         ).alias("inter_est"),
     )
 

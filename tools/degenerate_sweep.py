@@ -1,0 +1,268 @@
+"""Registry-wide degenerate-input sweep: run EVERY registered query
+(Spark + DuckDB oracle, same compare as the driver) against two
+adversarial fixtures that production always eventually serves:
+
+- ``empty``   — every table present with the exact production schema
+                and ZERO rows (a tenant slice, a fresh partition, a
+                filtered-to-nothing date range);
+- ``minimal`` — one-to-two rows per table with degenerate values:
+                empty strings, zero money/quantities, a zero-norm
+                embedding pair on one label, an empty-text document;
+- ``unicode`` — multibyte text everywhere (CJK, combining accents,
+                emoji, RTL Arabic) probing byte-vs-char divergences
+                of the levenshtein class through the tokenizer /
+                shingle / substring / digest paths.
+
+Both round-6 crash bugs (corpus_mixture_plan DIVIDE_BY_ZERO on a
+zero-token corpus, embedding_quantize_int8 on a dead label) were this
+class; this sweep triages the remaining registry systematically. The
+committed regression test is tests/test_registry_degenerate_parity.py;
+this script is the triage tool that reports ALL outcomes instead of
+failing fast.
+
+Usage: python tools/degenerate_sweep.py
+           [--fixture empty|minimal|unicode|both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TS0 = "2024-01-01T00:00:00"
+TS1 = "2024-01-01T01:00:00"
+
+
+def _schema(t: str) -> pa.Schema:
+    return pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+
+
+# Minimal-fixture rows, column-major, matching the production schemas.
+MINIMAL_ROWS: dict[str, dict[str, list]] = {
+    "region": {"r_regionkey": [0], "r_name": [""]},
+    "nation": {"n_nationkey": [0], "n_name": [""], "n_regionkey": [0]},
+    "customer": {
+        "c_custkey": [1],
+        "c_name": [""],
+        "c_nationkey": [0],
+        "c_acctbal": [0.0],
+        "c_mktsegment": [""],
+    },
+    "supplier": {
+        "s_suppkey": [1],
+        "s_name": [""],
+        "s_nationkey": [0],
+        "s_acctbal": [0.0],
+    },
+    "part": {
+        "p_partkey": [1],
+        "p_name": [""],
+        "p_brand": [""],
+        "p_type": [""],
+        "p_size": [0],
+        "p_retailprice": [0.0],
+    },
+    "orders": {
+        "o_orderkey": [1],
+        "o_custkey": [1],
+        "o_orderstatus": ["O"],
+        "o_totalprice": [0.0],
+        "o_orderdate": [TS0],
+        "o_orderpriority": [""],
+    },
+    "lineitem": {
+        "l_orderkey": [1],
+        "l_partkey": [1],
+        "l_suppkey": [1],
+        "l_linenumber": [1],
+        "l_quantity": [0.0],
+        "l_extendedprice": [0.0],
+        "l_discount": [0.0],
+        "l_tax": [0.0],
+        "l_returnflag": [""],
+        "l_linestatus": [""],
+        "l_shipdate": [TS0],
+    },
+    "events": {
+        "event_id": [0, 1],
+        "ts": [TS0, TS1],
+        "user_id": [1, 1],
+        "event_type": ["", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    },
+    "documents": {
+        "doc_id": [1, 2],
+        "text": ["", "a"],
+        "lang": ["en", "en"],
+        "source": ["src0", "src0"],
+        "n_chars": [0, 1],
+    },
+    "embeddings": {
+        "vec_id": [1, 2],
+        "embedding": [[0.0] * 64, [0.0] * 64],
+        "label": [0, 0],
+    },
+}
+
+
+# Unicode fixture: multibyte text through every operator — CJK (no
+# spaces inside words), combining accents (é as e+U+0301), emoji
+# (non-letters, outside \p{L}), RTL Arabic. Probes byte-vs-char traps
+# of the levenshtein class (DuckDB counts bytes, Spark characters)
+# in the tokenizer / shingle / substring / digest paths. n_chars =
+# Python len() = code points (both engines' length() agree on that).
+_UNI_TEXTS = [
+    "中文 文本 处理 中文 文本 处理 数据 管道 中文 文本",
+    "café naïve déjà vu café naïve déjà vu encore une fois",
+    "🎉 party 🎉 time emoji 🚀 rocket test again and again 🎉",
+    "مرحبا بالعالم هذا نص عربي للاختبار مرحبا بالعالم",
+    "élève résumé élève résumé fin",
+]
+
+UNICODE_ROWS: dict[str, dict[str, list]] = {
+    "region": {"r_regionkey": [0], "r_name": ["ASIE 亚洲"]},
+    "nation": {"n_nationkey": [0], "n_name": ["日本"], "n_regionkey": [0]},
+    "customer": {
+        "c_custkey": [1],
+        "c_name": ["客户#001 müller"],
+        "c_nationkey": [0],
+        "c_acctbal": [10.5],
+        "c_mktsegment": ["BUILDING"],
+    },
+    "supplier": {
+        "s_suppkey": [1],
+        "s_name": ["fournisseur#1 çédille"],
+        "s_nationkey": [0],
+        "s_acctbal": [2.25],
+    },
+    "part": {
+        "p_partkey": [1],
+        "p_name": ["部件 ünïté vert"],
+        "p_brand": ["Brand#中"],
+        "p_type": ["論理 TYPE"],
+        "p_size": [3],
+        "p_retailprice": [9.99],
+    },
+    "orders": {
+        "o_orderkey": [1],
+        "o_custkey": [1],
+        "o_orderstatus": ["O"],
+        "o_totalprice": [9.99],
+        "o_orderdate": [TS0],
+        "o_orderpriority": ["1-URGENT"],
+    },
+    "lineitem": {
+        "l_orderkey": [1],
+        "l_partkey": [1],
+        "l_suppkey": [1],
+        "l_linenumber": [1],
+        "l_quantity": [1.0],
+        "l_extendedprice": [9.99],
+        "l_discount": [0.1],
+        "l_tax": [0.05],
+        "l_returnflag": ["Ř"],
+        "l_linestatus": ["Ø"],
+        "l_shipdate": [TS0],
+    },
+    "events": {
+        "event_id": [0, 1, 2],
+        "ts": [TS0, TS1, TS1],
+        "user_id": [1, 1, 2],
+        "event_type": ["click", "购买", "view"],
+        "value": [1.5, 2.5, 0.0],
+        "props": ['{"k": "日本語"}', '{"k": "héllo"}', "{}"],
+    },
+    "documents": {
+        "doc_id": list(range(1, len(_UNI_TEXTS) + 1)),
+        "text": _UNI_TEXTS,
+        "lang": ["zh", "fr", "en", "es", "fr"],
+        "source": [f"src{i}" for i in range(len(_UNI_TEXTS))],
+        "n_chars": [len(t) for t in _UNI_TEXTS],
+    },
+    "embeddings": {
+        "vec_id": [1, 2],
+        "embedding": [[0.5] * 64, [-0.5] * 64],
+        "label": [0, 1],
+    },
+}
+
+_ROWS_BY_KIND = {"minimal": MINIMAL_ROWS, "unicode": UNICODE_ROWS}
+
+
+def write_fixture(out_dir: str, kind: str) -> str:
+    """Write all 10 tables under out_dir with production schemas.
+    kind='empty' → 0 rows; else rows from _ROWS_BY_KIND[kind]."""
+    os.makedirs(out_dir, exist_ok=True)
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans import TABLES
+
+    for t in TABLES:
+        schema = _schema(t)
+        if kind == "empty":
+            tbl = schema.empty_table()
+        else:
+            cols = _ROWS_BY_KIND[kind][t]
+            arrays = []
+            for f in schema:
+                vals = cols[f.name]
+                if pa.types.is_timestamp(f.type):
+                    import datetime
+
+                    vals = [datetime.datetime.fromisoformat(v) for v in vals]
+                arrays.append(pa.array(vals, type=f.type))
+            tbl = pa.Table.from_arrays(arrays, schema=schema)
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet")
+    return out_dir
+
+
+def sweep(fixtures: list[str]) -> int:
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
+    from tests.oracle_check import compare_query
+
+    spark = get_spark(app_name="degenerate-sweep", master="local[8]", shuffle_partitions=8)
+    results: list[tuple[str, str, str, str]] = []
+    for kind in fixtures:
+        sf = write_fixture(f"scale_data/degen_{kind}", kind)
+        for name, entry in REGISTRY.items():
+            spark.catalog.clearCache()
+            try:
+                if entry.oracle is None:
+                    n = entry.fn(spark, sf).count()
+                    results.append((name, kind, "OK-rows-only", f"{n} rows"))
+                else:
+                    compare_query(spark, entry.fn, entry.oracle, sf, name)
+                    results.append((name, kind, "OK", ""))
+            except Exception as e:  # noqa: BLE001 — triage tool reports all
+                head = "".join(traceback.format_exception_only(type(e), e))[:300]
+                kindcls = (
+                    "SPARK-ERR" if "pyspark" in type(e).__module__ or "py4j" in repr(e)[:2000].lower()
+                    else "DUCK-ERR" if "duckdb" in type(e).__module__
+                    else "MISMATCH" if isinstance(e, AssertionError)
+                    else "ERR"
+                )
+                results.append((name, kind, kindcls, head.replace("\n", " ")))
+        import gc
+
+        gc.collect()
+    bad = [r for r in results if not r[2].startswith("OK")]
+    print(f"\n==== SWEEP SUMMARY: {len(results)} runs, {len(bad)} not-OK ====")
+    for name, kind, cls, msg in bad:
+        print(f"[{cls}] {kind:8s} {name}: {msg}")
+    spark.stop()
+    return len(bad)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture", default="both", choices=["empty", "minimal", "unicode", "both"])
+    a = ap.parse_args()
+    fixtures = ["empty", "minimal", "unicode"] if a.fixture == "both" else [a.fixture]
+    sys.exit(0 if sweep(fixtures) == 0 else 1)
