@@ -1,0 +1,97 @@
+"""Partitioning-determinism sweep: the repo's determinism contract
+says every registered query's OUTPUT is independent of physical
+execution — partition count, AQE re-planning, parallelism. The
+oracle compare proves Spark-vs-DuckDB agreement at one config; this
+sweep proves Spark-vs-Spark agreement across configs, which is what
+actually breaks at 100 TB when a cluster resizes or AQE coalesces
+differently between runs.
+
+For each registered query, run at the baseline config (the test
+harness default: 8 shuffle partitions, AQE on) and under perturbed
+configs (1 and 31 shuffle partitions; AQE off), hashing the result
+exactly as the driver does (column-name-sorted, row-sorted string
+hash). Any hash that moves is a nondeterminism bug of the
+first()-without-order / float-sum-ordering class.
+
+Both knobs are runtime-settable, so one SparkSession serves all
+configs. Usage: python tools/determinism_sweep.py [--quick]
+(--quick: 1 perturbed config instead of 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import hashlib
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+BASELINE = {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "true"}
+PERTURBED = [
+    {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "true"},
+    {"spark.sql.shuffle.partitions": "31", "spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "false"},
+]
+
+
+def result_hash(pdf) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return hashlib.md5(
+        "\n".join(
+            sorted("|".join(str(v) for v in r) for r in pdf.itertuples(index=False))
+        ).encode()
+    ).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    a = ap.parse_args()
+    perturbed = PERTURBED[:1] if a.quick else PERTURBED
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="determinism-sweep", master="local[8]", shuffle_partitions=8
+    )
+
+    def run_all(conf: dict) -> dict:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        out = {}
+        for name, entry in REGISTRY.items():
+            spark.catalog.clearCache()
+            try:
+                out[name] = result_hash(entry.fn(spark, SF).toPandas())
+            except Exception as e:  # noqa: BLE001 — triage tool
+                out[name] = "ERR: " + "".join(
+                    traceback.format_exception_only(type(e), e)
+                )[:200]
+        gc.collect()
+        return out
+
+    base = run_all(BASELINE)
+    bad: list[tuple[str, str, str, str]] = []
+    for conf in perturbed:
+        label = f"parts={conf['spark.sql.shuffle.partitions']},aqe={conf['spark.sql.adaptive.enabled']}"
+        print(f"--- running config {label}", flush=True)
+        got = run_all(conf)
+        for name, h in got.items():
+            if h != base[name]:
+                bad.append((name, label, base[name][:16], h[:40]))
+    print(f"\n==== DETERMINISM SUMMARY: {len(REGISTRY)} queries x "
+          f"{len(perturbed)} perturbed configs, {len(bad)} divergent ====")
+    for name, label, bh, gh in bad:
+        print(f"[DIVERGE] {name} @ {label}: base={bh} got={gh}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
