@@ -200,7 +200,11 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered, exactly as Spark's PERMISSIVE from_json does. The
     oracle needs json_type() + TRY_CAST to say the same thing: a
     plain CAST(json_extract(..)) throws on non-numeric values
-    (round-6 unicode sweep, props = '{"k": "héllo"}')."""
+    (round-6 unicode sweep, props = '{"k": "héllo"}'). Parity domain:
+    SINGLE-document props — Spark's lenient parser extracts from the
+    first document of '{"k":5} extra' where DuckDB's strict parser
+    rejects the input (pinned divergence; clean concatenated JSON
+    upstream)."""
     ev = table(spark, sf_dir, "events")
     parsed = ev.withColumn(
         "k", F.from_json("props", "struct<k: bigint>").getField("k")
