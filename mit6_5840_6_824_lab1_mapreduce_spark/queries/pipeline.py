@@ -241,20 +241,22 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~lsplit_is_holdout(F.col("component"))
     ).select("doc_id", "component")
     docs = table(spark, sf_dir, "documents")
-    # Tokenize AFTER the join (the oracle's shape too): counting
-    # tokens is the expensive projection here, and joining first
-    # means only SURVIVING train docs pay it — tokenizing the full
-    # corpus and then dropping 30-50% of the work is the exact
-    # filter-late mistake this pipeline exists to avoid at 100 TB.
-    packed = pack_sequences_frame(
-        train.join(docs.select("doc_id", "text"), "doc_id").select(
-            "doc_id",
-            "component",
-            F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
+    # Tokenize BELOW the join, deliberately: counting tokens for
+    # soon-dropped docs costs map-side CPU (~30-50% of the regexp
+    # work), but the alternative — joining to train first and
+    # tokenizing after — ships the full `text` column through the
+    # join's shuffle whenever train can't broadcast, which at 100 TB
+    # it can't (train is corpus-sized). Shuffling (doc_id, n_tokens)
+    # ints is ~16 bytes/row vs kilobytes of text; the CPU trade is
+    # the cheap side. (Round-6 review: the join-first variant looked
+    # flat at sf0.1 only because AQE broadcast the small train side.)
+    d_tok = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
     )
+    packed = pack_sequences_frame(train.join(d_tok, "doc_id"))
     return packed.select(
         "doc_id", "component", "shard", "n_tokens", "seq_first", "seq_last"
     )

@@ -277,9 +277,11 @@ def test_rollup_cube_empty_input_divergence_pinned(spark, degen_empty, qname):
 
 _SWEEP = os.environ.get("SPARK_GRAFT_SWEEP") == "1"
 
-# Queries whose empty-input behavior is a PINNED engine divergence
-# (see test_rollup_cube_empty_input_divergence_pinned).
-EMPTY_ALLOWLIST = {"sales_rollup", "docs_cube_stats"}
+# Pinned-divergence allowlists live in the tool so the standalone
+# sweep's exit status and these tests can never disagree.
+from tools.degenerate_sweep import ALLOWLIST
+
+EMPTY_ALLOWLIST = ALLOWLIST["empty"]
 
 
 @pytest.mark.skipif(not _SWEEP, reason="full degenerate sweep: set SPARK_GRAFT_SWEEP=1")
@@ -307,7 +309,7 @@ def test_sweep_minimal(spark, degen_minimal, qname):
 # Queries whose unicode-input behavior is the DESIGNED strict-ASCII
 # failure of the text->binary stand-in (see
 # test_multimodal_strict_ascii_contract_is_loud).
-UNICODE_ALLOWLIST = {"multimodal_resize", "multimodal_frame_sample"}
+UNICODE_ALLOWLIST = ALLOWLIST["unicode"]
 
 
 @pytest.mark.skipif(not _SWEEP, reason="full degenerate sweep: set SPARK_GRAFT_SWEEP=1")

@@ -1,5 +1,5 @@
 """Registry-wide degenerate-input sweep: run EVERY registered query
-(Spark + DuckDB oracle, same compare as the driver) against two
+(Spark + DuckDB oracle, same compare as the driver) against three
 adversarial fixtures that production always eventually serves:
 
 - ``empty``   — every table present with the exact production schema
@@ -20,8 +20,12 @@ committed regression test is tests/test_registry_degenerate_parity.py;
 this script is the triage tool that reports ALL outcomes instead of
 failing fast.
 
+Exit status: 0 iff every non-pinned (query, fixture) run is OK —
+the four documented pinned divergences are allowlisted (ALLOWLIST,
+imported by the test module so tool and tests cannot disagree).
+
 Usage: python tools/degenerate_sweep.py
-           [--fixture empty|minimal|unicode|both]
+           [--fixture empty|minimal|unicode|all]
 """
 
 from __future__ import annotations
@@ -196,6 +200,20 @@ UNICODE_ROWS: dict[str, dict[str, list]] = {
 
 _ROWS_BY_KIND = {"minimal": MINIMAL_ROWS, "unicode": UNICODE_ROWS}
 
+# Pinned divergences the sweep must NOT count as regressions (the
+# test module imports these so tool and tests can never disagree):
+# - empty: Spark rollup/cube emit no rows over empty input; DuckDB
+#   (SQL standard) emits the () grouping-set row — pinned by
+#   test_rollup_cube_empty_input_divergence_pinned.
+# - unicode: the text->binary stand-ins fail loudly on non-ASCII by
+#   design (strict=True) — pinned by
+#   test_multimodal_strict_ascii_contract_is_loud.
+ALLOWLIST: dict[str, set[str]] = {
+    "empty": {"sales_rollup", "docs_cube_stats"},
+    "minimal": set(),
+    "unicode": {"multimodal_resize", "multimodal_frame_sample"},
+}
+
 
 def write_fixture(out_dir: str, kind: str) -> str:
     """Write all 10 tables under out_dir with production schemas.
@@ -232,6 +250,9 @@ def sweep(fixtures: list[str]) -> int:
     for kind in fixtures:
         sf = write_fixture(f"scale_data/degen_{kind}", kind)
         for name, entry in REGISTRY.items():
+            if name in ALLOWLIST.get(kind, ()):
+                results.append((name, kind, "OK-pinned-divergence", ""))
+                continue
             spark.catalog.clearCache()
             try:
                 if entry.oracle is None:
@@ -262,7 +283,8 @@ def sweep(fixtures: list[str]) -> int:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fixture", default="both", choices=["empty", "minimal", "unicode", "both"])
+    ap.add_argument("--fixture", default="all",
+                    choices=["empty", "minimal", "unicode", "all"])
     a = ap.parse_args()
-    fixtures = ["empty", "minimal", "unicode"] if a.fixture == "both" else [a.fixture]
+    fixtures = ["empty", "minimal", "unicode"] if a.fixture == "all" else [a.fixture]
     sys.exit(0 if sweep(fixtures) == 0 else 1)

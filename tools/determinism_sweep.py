@@ -7,15 +7,18 @@ actually breaks at 100 TB when a cluster resizes or AQE coalesces
 differently between runs.
 
 For each registered query, run at the baseline config (the test
-harness default: 8 shuffle partitions, AQE on) and under perturbed
-configs (1 and 31 shuffle partitions; AQE off), hashing the result
-exactly as the driver does (column-name-sorted, row-sorted string
-hash). Any hash that moves is a nondeterminism bug of the
-first()-without-order / float-sum-ordering class.
+harness default: 8 shuffle partitions, AQE on, default broadcast
+threshold, whole-stage codegen on) and under perturbed configs
+(1 / 31 shuffle partitions; AQE off; auto-broadcast disabled so
+every unhinted join becomes sort-merge; codegen off so every
+expression runs interpreted), hashing the result exactly as the
+driver does (column-name-sorted, row-sorted string hash). Any hash
+that moves is a nondeterminism bug of the first()-without-order /
+float-sum-ordering / join-strategy-dependent class.
 
-Both knobs are runtime-settable, so one SparkSession serves all
+All four knobs are runtime-settable, so one SparkSession serves all
 configs. Usage: python tools/determinism_sweep.py [--quick]
-(--quick: 1 perturbed config instead of 3).
+(--quick: 1 perturbed config instead of 4).
 """
 
 from __future__ import annotations
@@ -31,11 +34,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.01"
 
-BASELINE = {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "true"}
+_BCAST = "spark.sql.autoBroadcastJoinThreshold"
+_CODEGEN = "spark.sql.codegen.wholeStage"
+BASELINE = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.adaptive.enabled": "true",
+    _BCAST: "10485760",
+    _CODEGEN: "true",
+}
 PERTURBED = [
-    {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "true"},
-    {"spark.sql.shuffle.partitions": "31", "spark.sql.adaptive.enabled": "false"},
-    {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "true",
+     _BCAST: "10485760", _CODEGEN: "true"},
+    {"spark.sql.shuffle.partitions": "31", "spark.sql.adaptive.enabled": "false",
+     _BCAST: "10485760", _CODEGEN: "true"},
+    # -1 disables AUTO broadcast: every unhinted join becomes
+    # sort-merge/shuffle-hash — catches join-strategy-dependent
+    # nondeterminism (explicit broadcast() hints still apply)
+    {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "false",
+     _BCAST: "-1", _CODEGEN: "true"},
+    # codegen off: every expression runs INTERPRETED instead of
+    # whole-stage-generated — the evaluation-path differential
+    {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "true",
+     _BCAST: "10485760", _CODEGEN: "false"},
 ]
 
 
@@ -79,7 +99,11 @@ def main() -> int:
     base = run_all(BASELINE)
     bad: list[tuple[str, str, str, str]] = []
     for conf in perturbed:
-        label = f"parts={conf['spark.sql.shuffle.partitions']},aqe={conf['spark.sql.adaptive.enabled']}"
+        label = (
+            f"parts={conf['spark.sql.shuffle.partitions']},"
+            f"aqe={conf['spark.sql.adaptive.enabled']},"
+            f"bcast={conf[_BCAST]},codegen={conf[_CODEGEN]}"
+        )
         print(f"--- running config {label}", flush=True)
         got = run_all(conf)
         for name, h in got.items():
