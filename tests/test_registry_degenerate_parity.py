@@ -322,3 +322,21 @@ def test_sweep_unicode(spark, degen_unicode, qname):
         e.fn(spark, degen_unicode).count()
     else:
         compare_query(spark, e.fn, e.oracle, degen_unicode, qname)
+
+
+@pytest.fixture(scope="session")
+def degen_timewarp(tmp_path_factory):
+    return write_fixture(str(tmp_path_factory.mktemp("degen") / "timewarp"), "timewarp")
+
+
+@pytest.mark.skipif(not _SWEEP, reason="full degenerate sweep: set SPARK_GRAFT_SWEEP=1")
+@pytest.mark.parametrize("qname", sorted(REGISTRY))
+def test_sweep_timewarp(spark, degen_timewarp, qname):
+    """Negative-epoch / epoch-zero / leap-day / far-future timestamps
+    through every query — floor-vs-truncate bucketing and calendar
+    divergences only show below epoch, which no sf fixture contains."""
+    e = REGISTRY[qname]
+    if e.oracle is None:
+        e.fn(spark, degen_timewarp).count()
+    else:
+        compare_query(spark, e.fn, e.oracle, degen_timewarp, qname)

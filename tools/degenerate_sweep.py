@@ -1,5 +1,5 @@
 """Registry-wide degenerate-input sweep: run EVERY registered query
-(Spark + DuckDB oracle, same compare as the driver) against three
+(Spark + DuckDB oracle, same compare as the driver) against four
 adversarial fixtures that production always eventually serves:
 
 - ``empty``   — every table present with the exact production schema
@@ -11,7 +11,10 @@ adversarial fixtures that production always eventually serves:
 - ``unicode`` — multibyte text everywhere (CJK, combining accents,
                 emoji, RTL Arabic) probing byte-vs-char divergences
                 of the levenshtein class through the tokenizer /
-                shingle / substring / digest paths.
+                shingle / substring / digest paths;
+- ``timewarp``— timestamps at negative epoch / epoch zero / leap
+                days / far future, probing floor-vs-truncate and
+                calendar divergences in the time-bucketing paths.
 
 Both round-6 crash bugs (corpus_mixture_plan DIVIDE_BY_ZERO on a
 zero-token corpus, embedding_quantize_int8 on a dead label) were this
@@ -25,7 +28,7 @@ the four documented pinned divergences are allowlisted (ALLOWLIST,
 imported by the test module so tool and tests cannot disagree).
 
 Usage: python tools/degenerate_sweep.py
-           [--fixture empty|minimal|unicode|all]
+           [--fixture empty|minimal|unicode|timewarp|all]
 """
 
 from __future__ import annotations
@@ -198,7 +201,96 @@ UNICODE_ROWS: dict[str, dict[str, list]] = {
     },
 }
 
-_ROWS_BY_KIND = {"minimal": MINIMAL_ROWS, "unicode": UNICODE_ROWS}
+# Timewarp fixture: timestamps production never tests but history
+# contains — NEGATIVE epoch (pre-1970: floor-vs-truncate divergences
+# in time bucketing only show here), epoch zero, leap days (century
+# leap 2000-02-29 included), and far future kept inside pandas'
+# ns-backed Timestamp range (≤ 2262). Events give one user a pair of
+# pre-epoch events 10 minutes apart so sessionization / range-join
+# bucketing actually bucket negative micros.
+_TW_TS = [
+    "1969-07-20T20:17:40",  # negative epoch
+    "1969-07-20T20:27:40",  # same user, +10 min (one session)
+    "1970-01-01T00:00:00",  # epoch zero
+    "2000-02-29T23:59:59",  # century leap day
+    "2024-02-29T12:00:00",  # leap day
+    "2200-01-01T00:00:00",  # far future, pandas-safe
+]
+
+TIMEWARP_ROWS: dict[str, dict[str, list]] = {
+    "region": {"r_regionkey": [0], "r_name": ["ASIA"]},
+    "nation": {"n_nationkey": [0], "n_name": ["JAPAN"], "n_regionkey": [0]},
+    "customer": {
+        "c_custkey": [1],
+        "c_name": ["Customer#1"],
+        "c_nationkey": [0],
+        "c_acctbal": [100.0],
+        "c_mktsegment": ["BUILDING"],
+    },
+    "supplier": {
+        "s_suppkey": [1],
+        "s_name": ["Supplier#1"],
+        "s_nationkey": [0],
+        "s_acctbal": [50.0],
+    },
+    "part": {
+        "p_partkey": [1],
+        "p_name": ["green part"],
+        "p_brand": ["Brand#1"],
+        "p_type": ["PROMO BRUSHED"],
+        "p_size": [5],
+        "p_retailprice": [100.0],
+    },
+    "orders": {
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 1, 1],
+        "o_orderstatus": ["O", "F", "O"],
+        "o_totalprice": [10.0, 20.0, 30.0],
+        "o_orderdate": ["1969-07-20T20:17:40", "1970-01-01T00:00:00",
+                        "2200-01-01T00:00:00"],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    },
+    "lineitem": {
+        "l_orderkey": [1, 2, 3],
+        "l_partkey": [1, 1, 1],
+        "l_suppkey": [1, 1, 1],
+        "l_linenumber": [1, 1, 1],
+        "l_quantity": [1.0, 2.0, 3.0],
+        "l_extendedprice": [10.0, 20.0, 30.0],
+        "l_discount": [0.05, 0.1, 0.0],
+        "l_tax": [0.02, 0.04, 0.08],
+        "l_returnflag": ["N", "R", "A"],
+        "l_linestatus": ["O", "F", "F"],
+        "l_shipdate": ["1969-07-21T00:00:00", "1970-01-02T00:00:00",
+                       "2200-01-02T00:00:00"],
+    },
+    "events": {
+        "event_id": [0, 1, 2, 3, 4, 5],
+        "ts": _TW_TS,
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "event_type": ["signup", "click", "click", "purchase", "view", "error"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "props": ['{"k": 1}'] * 6,
+    },
+    "documents": {
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta"],
+        "lang": ["en", "en"],
+        "source": ["src0", "src1"],
+        "n_chars": [22, 22],
+    },
+    "embeddings": {
+        "vec_id": [1, 2],
+        "embedding": [[0.5] * 64, [0.25] * 64],
+        "label": [0, 1],
+    },
+}
+
+_ROWS_BY_KIND = {
+    "minimal": MINIMAL_ROWS,
+    "unicode": UNICODE_ROWS,
+    "timewarp": TIMEWARP_ROWS,
+}
 
 # Pinned divergences the sweep must NOT count as regressions (the
 # test module imports these so tool and tests can never disagree):
@@ -212,6 +304,7 @@ ALLOWLIST: dict[str, set[str]] = {
     "empty": {"sales_rollup", "docs_cube_stats"},
     "minimal": set(),
     "unicode": {"multimodal_resize", "multimodal_frame_sample"},
+    "timewarp": set(),
 }
 
 
@@ -284,7 +377,8 @@ def sweep(fixtures: list[str]) -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="all",
-                    choices=["empty", "minimal", "unicode", "all"])
+                    choices=["empty", "minimal", "unicode", "timewarp", "all"])
     a = ap.parse_args()
-    fixtures = ["empty", "minimal", "unicode"] if a.fixture == "all" else [a.fixture]
+    fixtures = (["empty", "minimal", "unicode", "timewarp"]
+                if a.fixture == "all" else [a.fixture])
     sys.exit(0 if sweep(fixtures) == 0 else 1)
