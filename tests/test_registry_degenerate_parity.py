@@ -340,3 +340,22 @@ def test_sweep_timewarp(spark, degen_timewarp, qname):
         e.fn(spark, degen_timewarp).count()
     else:
         compare_query(spark, e.fn, e.oracle, degen_timewarp, qname)
+
+
+@pytest.fixture(scope="session")
+def degen_clique(tmp_path_factory):
+    return write_fixture(str(tmp_path_factory.mktemp("degen") / "clique"), "clique")
+
+
+@pytest.mark.skipif(not _SWEEP, reason="full degenerate sweep: set SPARK_GRAFT_SWEEP=1")
+@pytest.mark.parametrize("qname", sorted(REGISTRY))
+def test_sweep_clique(spark, degen_clique, qname):
+    """Maximal duplication through every query: 24 byte-identical
+    docs put the hot-bucket caps in their total-drop regime, the
+    uncapped verify path on a 276-pair clique, CC on one component,
+    and one user owning a 40-event session (hot-key skew)."""
+    e = REGISTRY[qname]
+    if e.oracle is None:
+        e.fn(spark, degen_clique).count()
+    else:
+        compare_query(spark, e.fn, e.oracle, degen_clique, qname)

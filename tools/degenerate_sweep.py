@@ -1,5 +1,5 @@
 """Registry-wide degenerate-input sweep: run EVERY registered query
-(Spark + DuckDB oracle, same compare as the driver) against four
+(Spark + DuckDB oracle, same compare as the driver) against five
 adversarial fixtures that production always eventually serves:
 
 - ``empty``   — every table present with the exact production schema
@@ -14,7 +14,11 @@ adversarial fixtures that production always eventually serves:
                 shingle / substring / digest paths;
 - ``timewarp``— timestamps at negative epoch / epoch zero / leap
                 days / far future, probing floor-vs-truncate and
-                calendar divergences in the time-bucketing paths.
+                calendar divergences in the time-bucketing paths;
+- ``clique``  — maximal duplication: 24 byte-identical documents
+                (hot-bucket caps in their total-drop regime, one
+                276-pair verify clique, CC one component), identical
+                embeddings, one user owning a 40-event session.
 
 Both round-6 crash bugs (corpus_mixture_plan DIVIDE_BY_ZERO on a
 zero-token corpus, embedding_quantize_int8 on a dead label) were this
@@ -28,7 +32,7 @@ the four documented pinned divergences are allowlisted (ALLOWLIST,
 imported by the test module so tool and tests cannot disagree).
 
 Usage: python tools/degenerate_sweep.py
-           [--fixture empty|minimal|unicode|timewarp|all]
+           [--fixture empty|minimal|unicode|timewarp|clique|all]
 """
 
 from __future__ import annotations
@@ -286,10 +290,100 @@ TIMEWARP_ROWS: dict[str, dict[str, list]] = {
     },
 }
 
+# Clique fixture: MAXIMAL duplication — 24 byte-identical documents
+# (every MinHash band bucket holds 24 rows, far past the cap of 2,
+# so the capped variants run in their total-drop regime while the
+# uncapped path verifies a 276-pair clique and CC collapses the
+# corpus to one component + one singleton), identical zero-distance
+# embeddings on one label, and one user owning a 40-event
+# single-session stream (hot-key skew in every per-user aggregate).
+_CLIQUE_TEXT = (
+    "the quick brown fox jumps over the lazy dog again and again today"
+)
+_N_CLIQUE = 24
+_CLQ_EVENTS = 40
+
+TIMEBASE = "2024-01-01T00:{m:02d}:00"
+
+CLIQUE_ROWS: dict[str, dict[str, list]] = {
+    "region": {"r_regionkey": [0], "r_name": ["ASIA"]},
+    "nation": {"n_nationkey": [0], "n_name": ["JAPAN"], "n_regionkey": [0]},
+    "customer": {
+        "c_custkey": [1, 2],
+        "c_name": ["Customer#1", "Customer#2"],
+        "c_nationkey": [0, 0],
+        "c_acctbal": [100.0, 0.0],
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+    },
+    "supplier": {
+        "s_suppkey": [1],
+        "s_name": ["Supplier#1"],
+        "s_nationkey": [0],
+        "s_acctbal": [50.0],
+    },
+    "part": {
+        "p_partkey": [1],
+        "p_name": ["green part"],
+        "p_brand": ["Brand#1"],
+        "p_type": ["PROMO BRUSHED"],
+        "p_size": [5],
+        "p_retailprice": [100.0],
+    },
+    # one customer owns every order — per-customer skew
+    "orders": {
+        "o_orderkey": list(range(1, 9)),
+        "o_custkey": [1] * 7 + [2],
+        "o_orderstatus": ["O"] * 8,
+        "o_totalprice": [10.0 * k for k in range(1, 9)],
+        "o_orderdate": ["1996-03-%02dT00:00:00" % d for d in range(1, 9)],
+        "o_orderpriority": ["1-URGENT"] * 8,
+    },
+    # one order owns every lineitem — per-key skew on the join side
+    "lineitem": {
+        "l_orderkey": [1] * 7,
+        "l_partkey": [1] * 7,
+        "l_suppkey": [1] * 7,
+        "l_linenumber": list(range(1, 8)),
+        "l_quantity": [float(k) for k in range(1, 8)],
+        "l_extendedprice": [10.0] * 7,
+        "l_discount": [0.05] * 7,
+        "l_tax": [0.02] * 7,
+        "l_returnflag": ["N"] * 7,
+        "l_linestatus": ["O"] * 7,
+        "l_shipdate": ["1996-03-%02dT00:00:00" % d for d in range(2, 9)],
+    },
+    "events": {
+        "event_id": list(range(_CLQ_EVENTS + 1)),
+        "ts": [TIMEBASE.format(m=i) for i in range(_CLQ_EVENTS)]
+        + ["2024-01-02T00:00:00"],
+        "user_id": [1] * _CLQ_EVENTS + [2],
+        "event_type": (["signup"] + ["click", "view", "purchase", "error"] * 10)[
+            :_CLQ_EVENTS
+        ]
+        + ["view"],
+        "value": [float(i) for i in range(_CLQ_EVENTS)] + [1.0],
+        "props": ['{"k": %d}' % (i % 3) for i in range(_CLQ_EVENTS)] + ["{}"],
+    },
+    "documents": {
+        "doc_id": list(range(1, _N_CLIQUE + 2)),
+        "text": [_CLIQUE_TEXT] * _N_CLIQUE + ["completely different text here"],
+        "lang": ["en"] * (_N_CLIQUE + 1),
+        "source": ["src%d" % (i % 3) for i in range(_N_CLIQUE)] + ["src9"],
+        "n_chars": [len(_CLIQUE_TEXT)] * _N_CLIQUE
+        + [len("completely different text here")],
+    },
+    "embeddings": {
+        "vec_id": list(range(1, 13)),
+        "embedding": [[1.0] * 64] * 10 + [[0.5] * 64, [-1.0] * 64],
+        "label": [0] * 10 + [1, 1],
+    },
+}
+
 _ROWS_BY_KIND = {
     "minimal": MINIMAL_ROWS,
     "unicode": UNICODE_ROWS,
     "timewarp": TIMEWARP_ROWS,
+    "clique": CLIQUE_ROWS,
 }
 
 # Pinned divergences the sweep must NOT count as regressions (the
@@ -305,6 +399,7 @@ ALLOWLIST: dict[str, set[str]] = {
     "minimal": set(),
     "unicode": {"multimodal_resize", "multimodal_frame_sample"},
     "timewarp": set(),
+    "clique": set(),
 }
 
 
@@ -377,8 +472,8 @@ def sweep(fixtures: list[str]) -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="all",
-                    choices=["empty", "minimal", "unicode", "timewarp", "all"])
+                    choices=["empty", "minimal", "unicode", "timewarp", "clique", "all"])
     a = ap.parse_args()
-    fixtures = (["empty", "minimal", "unicode", "timewarp"]
+    fixtures = (["empty", "minimal", "unicode", "timewarp", "clique"]
                 if a.fixture == "all" else [a.fixture])
     sys.exit(0 if sweep(fixtures) == 0 else 1)
