@@ -108,6 +108,12 @@ def _pipeline_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         keep=("pred_lang", "text", "stored_n_chars"),
     )
+    # Exchange-width note (round-6 audit, SCALE.md §"Exchange-width
+    # audit"): the keeper window's exchange does NOT carry text —
+    # Catalyst projects _w0 = md5(text) plus the signal columns below
+    # the shuffle and prunes text. Keying the window on the inline
+    # expression is physically equivalent to pre-materializing the
+    # digest; keep the simpler form.
     hashed = ann.select(
         "doc_id",
         F.col("stored_n_chars").alias("n_chars"),
