@@ -1,0 +1,98 @@
+"""KV stream ordering pins (round 6).
+
+The streaming KV machine's contract (streaming/kv_stream.py module
+docstring): within a micro-batch ops apply in ``seq`` order; across
+batches ordering is the source's job (the Raft-log analog). Two
+halves of that contract were asserted only implicitly:
+
+- WITHIN-batch: the generated op logs happen to be written in seq
+  order, so the ``rows.sort`` in ``_apply_ops`` was never load-bearing
+  in a test. Shuffle the physical row order and the result must still
+  equal the batch replay.
+- ACROSS-batch duplicate suppression: a clerk retry can land in a
+  LATER micro-batch than the original; the per-client high-water id
+  persisted in the state store must suppress it there too (the
+  within-batch path alone would not).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+
+import pytest
+
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import replay_final_state
+from mit6_5840_6_824_lab1_mapreduce_spark.streaming import kv_state_stream
+
+from .test_kv import SCHEMA, _gen_ops
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="kvorder-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, src: str, tmpdir: str, name: str, per_file: bool = False):
+    reader = spark.readStream.schema(SCHEMA)
+    if per_file:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    q = (
+        kv_state_stream(reader.parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt-{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        r.key: r.value for r in spark.sql(f"SELECT key, value FROM {name}").collect()
+    }
+
+
+def test_kv_stream_shuffled_batch_matches_replay(spark, tmpdir):
+    """One micro-batch whose PHYSICAL row order is shuffled: the
+    in-batch seq sort must reproduce the seq-ordered batch replay
+    exactly (Appends are order-sensitive, so a missing sort shows)."""
+    ops = _gen_ops(300, seed=11)
+    shuffled = ops[:]
+    random.Random(99).shuffle(shuffled)
+    spark.createDataFrame(shuffled, SCHEMA).coalesce(1).write.parquet(f"{tmpdir}/ops")
+    got = _run_stream(spark, f"{tmpdir}/ops", tmpdir, "kvshuffled")
+    want = {
+        r.key: r.value
+        for r in replay_final_state(
+            spark.createDataFrame(ops, SCHEMA)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kv_stream_cross_batch_duplicate_suppressed(spark, tmpdir):
+    """A clerk retry landing in a LATER micro-batch must be suppressed
+    by the high-water id persisted in the state store — the value must
+    not double-append, and a FRESH append after the replay still
+    lands."""
+    b0 = [
+        (0, 1, 0, "Put", "k", "x"),
+        (1, 1, 1, "Append", "k", "y"),  # original commit of req 1
+    ]
+    b1 = [
+        (2, 1, 1, "Append", "k", "y"),  # clerk retry, next batch
+        (3, 1, 2, "Append", "k", "z"),  # fresh op after the retry
+    ]
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        f = f"{src}/batch_{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f)
+        for name in os.listdir(f):  # stable mtimes -> stable file order
+            os.utime(os.path.join(f, name), (1000 + i, 1000 + i))
+    got = _run_stream(spark, f"{src}/batch_*", tmpdir, "kvdup", per_file=True)
+    assert got == {"k": "xyz"}  # not 'xyyz'
