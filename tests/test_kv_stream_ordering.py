@@ -23,8 +23,13 @@ import shutil
 import tempfile
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
-from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import replay_final_state
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import (
+    replay_final_state,
+    replay_python_model,
+)
 from mit6_5840_6_824_lab1_mapreduce_spark.streaming import kv_state_stream
 
 from .test_kv import SCHEMA, _gen_ops
@@ -96,3 +101,43 @@ def test_kv_stream_cross_batch_duplicate_suppressed(spark, tmpdir):
             os.utime(os.path.join(f, name), (1000 + i, 1000 + i))
     got = _run_stream(spark, f"{src}/batch_*", tmpdir, "kvdup", per_file=True)
     assert got == {"k": "xyz"}  # not 'xyyz'
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_cuts=st.integers(min_value=0, max_value=4),
+    shuffle_seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_kv_stream_random_batching_matches_model(
+    spark, tmp_path_factory, seed, n_cuts, shuffle_seed
+):
+    """Property form of the two pins above: ANY contiguous batching of
+    an ordered op log (the contract's cross-batch guarantee), with
+    rows arbitrarily shuffled WITHIN each batch, must stream to the
+    exact final state of the pure-Python reference model — retries
+    falling on either side of a batch cut included."""
+    ops = _gen_ops(120, seed=seed)
+    rng = random.Random(shuffle_seed)
+    cuts = sorted(rng.sample(range(1, len(ops)), min(n_cuts, len(ops) - 1)))
+    batches = [
+        ops[lo:hi] for lo, hi in zip([0] + cuts, cuts + [len(ops)])
+    ]
+    d = str(tmp_path_factory.mktemp("kvrand"))
+    src = f"{d}/src"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        rows = rows[:]
+        rng.shuffle(rows)  # within-batch order is arbitrary
+        f = f"{src}/batch_{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f)
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (1000 + i, 1000 + i))
+    got = _run_stream(spark, f"{src}/batch_*", d, f"kvrand{seed}_{n_cuts}_{shuffle_seed}",
+                      per_file=True)
+    want = {k: v for k, v in replay_python_model(ops).items()}
+    # the stream emits a row for every touched key incl. Gets on
+    # absent keys (value ''); the model omits never-written keys
+    got = {k: v for k, v in got.items() if v != "" or k in want}
+    assert got == want
