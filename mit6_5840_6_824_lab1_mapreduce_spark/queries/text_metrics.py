@@ -261,13 +261,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % 1000000007,
     )
+    # Project BOTH text-derived fingerprints below the sketch join:
+    # computed after the join they pull the full text column through
+    # the join's shuffle whenever the sketch side can't broadcast
+    # (it can't at corpus scale — one row per doc). Shuffling the
+    # 32-char digest + one long instead is ~50 B/row (round-6
+    # exchange-width audit, the one flagged plan in the registry).
+    base = d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        roll.alias("roll_hash"),
+    )
     return (
-        d.join(sk, d.doc_id == sk.id, "left")
+        base.join(sk, base.doc_id == sk.id, "left")
         .select(
             "doc_id",
-            F.md5("text").alias("content_hash"),
+            "content_hash",
             F.coalesce("sketch", F.lit("")).alias("sketch"),
-            roll.alias("roll_hash"),
+            "roll_hash",
         )
     )
 

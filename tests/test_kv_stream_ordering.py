@@ -19,30 +19,17 @@ from __future__ import annotations
 
 import os
 import random
-import shutil
-import tempfile
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import (
-    replay_final_state,
-    replay_python_model,
-)
+from mit6_5840_6_824_lab1_mapreduce_spark.operators.kv import replay_python_model
 from mit6_5840_6_824_lab1_mapreduce_spark.streaming import kv_state_stream
 
 from .test_kv import SCHEMA, _gen_ops
 
 
-@pytest.fixture()
-def tmpdir():
-    d = tempfile.mkdtemp(prefix="kvorder-")
-    yield d
-    shutil.rmtree(d, ignore_errors=True)
-
-
-def _run_stream(spark, src: str, tmpdir: str, name: str, per_file: bool = False):
+def _run_stream(spark, src: str, workdir: str, name: str, per_file: bool = False):
     reader = spark.readStream.schema(SCHEMA)
     if per_file:
         reader = reader.option("maxFilesPerTrigger", 1)
@@ -51,39 +38,51 @@ def _run_stream(spark, src: str, tmpdir: str, name: str, per_file: bool = False)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", f"{tmpdir}/ckpt-{name}")
+        .option("checkpointLocation", f"{workdir}/ckpt-{name}")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout WITHOUT raising —
+        # asserting it turns a hung run into a clear failure instead
+        # of a misleading partial-state diff (round-6 review).
+        assert q.awaitTermination(120), f"stream {name} did not finish in 120s"
+    finally:
+        q.stop()
     return {
         r.key: r.value for r in spark.sql(f"SELECT key, value FROM {name}").collect()
     }
 
 
-def test_kv_stream_shuffled_batch_matches_replay(spark, tmpdir):
+def _model_state(ops: list[tuple], got: dict[str, str]) -> tuple[dict, dict]:
+    """(filtered stream output, model state): the stream emits a row
+    for EVERY touched key including Get-only keys (value ''), while
+    the model omits never-written keys — drop those rows unless the
+    model really expects an empty value."""
+    want = replay_python_model(ops)
+    return {k: v for k, v in got.items() if v != "" or k in want}, want
+
+
+def test_kv_stream_shuffled_batch_matches_replay(spark, tmp_path):
     """One micro-batch whose PHYSICAL row order is shuffled: the
-    in-batch seq sort must reproduce the seq-ordered batch replay
-    exactly (Appends are order-sensitive, so a missing sort shows)."""
+    in-batch seq sort must reproduce the seq-ordered replay exactly
+    (Appends are order-sensitive, so a missing sort shows)."""
+    tmpdir = str(tmp_path)
     ops = _gen_ops(300, seed=11)
     shuffled = ops[:]
     random.Random(99).shuffle(shuffled)
     spark.createDataFrame(shuffled, SCHEMA).coalesce(1).write.parquet(f"{tmpdir}/ops")
-    got = _run_stream(spark, f"{tmpdir}/ops", tmpdir, "kvshuffled")
-    want = {
-        r.key: r.value
-        for r in replay_final_state(
-            spark.createDataFrame(ops, SCHEMA)
-        ).collect()
-    }
+    raw = _run_stream(spark, f"{tmpdir}/ops", tmpdir, "kvshuffled")
+    got, want = _model_state(ops, raw)
     assert got == want
 
 
-def test_kv_stream_cross_batch_duplicate_suppressed(spark, tmpdir):
+def test_kv_stream_cross_batch_duplicate_suppressed(spark, tmp_path):
     """A clerk retry landing in a LATER micro-batch must be suppressed
     by the high-water id persisted in the state store — the value must
     not double-append, and a FRESH append after the replay still
     lands."""
+    tmpdir = str(tmp_path)
     b0 = [
         (0, 1, 0, "Put", "k", "x"),
         (1, 1, 1, "Append", "k", "y"),  # original commit of req 1
@@ -136,8 +135,5 @@ def test_kv_stream_random_batching_matches_model(
             os.utime(os.path.join(f, name), (1000 + i, 1000 + i))
     got = _run_stream(spark, f"{src}/batch_*", d, f"kvrand{seed}_{n_cuts}_{shuffle_seed}",
                       per_file=True)
-    want = {k: v for k, v in replay_python_model(ops).items()}
-    # the stream emits a row for every touched key incl. Gets on
-    # absent keys (value ''); the model omits never-written keys
-    got = {k: v for k, v in got.items() if v != "" or k in want}
+    got, want = _model_state(ops, got)
     assert got == want

@@ -63,7 +63,12 @@ def _run(sdf, name: str, tmpdir: str, mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # returns False on timeout without raising — assert it so a
+        # hung run fails loudly instead of comparing partial state
+        assert q.awaitTermination(120), f"stream {name} did not finish in 120s"
+    finally:
+        q.stop()
     return q
 
 
@@ -92,7 +97,7 @@ def test_dedup_ingest_empty_batch(spark, tmpdir):
     docs = _empty_source(spark, tmpdir, DOCS_SCHEMA)
     index, verd = f"{tmpdir}/idx", f"{tmpdir}/verd"
     q = stream_dedup_ingest(docs, index, verd, checkpoint_dir=f"{tmpdir}/ckpt-d")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "dedup ingest stream did not finish in 120s"
     n_verdicts = (
         spark.read.parquet(verd).count() if os.path.exists(verd) else 0
     )
@@ -121,7 +126,7 @@ def test_merge_sink_empty_batch(spark, tmpdir):
         stream, target, key_cols=["event_id"], partition_col="day",
         checkpoint_dir=f"{tmpdir}/ckpt-m",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "merge sink stream did not finish in 120s"
     n_target = spark.read.parquet(target).count() if os.path.exists(target) else 0
     assert n_target == 0
     # follow-up non-empty wave merges cleanly into the same path

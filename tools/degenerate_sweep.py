@@ -435,29 +435,46 @@ def sweep(fixtures: list[str]) -> int:
 
     spark = get_spark(app_name="degenerate-sweep", master="local[8]", shuffle_partitions=8)
     results: list[tuple[str, str, str, str]] = []
+    # What a PINNED divergence is allowed to look like when run: the
+    # empty-fixture pins are value/row-count mismatches (AssertionError
+    # from the compare), the unicode pins are the loud strict-ASCII
+    # raise. Anything else from a pinned pair — a different crash, or
+    # the divergence silently disappearing — is reported (review
+    # finding: skipping pinned pairs outright would hide a pin
+    # degrading into a crash).
+    pin_expect = {"empty": ("MISMATCH",), "unicode": ("non-ASCII",)}
     for kind in fixtures:
         sf = write_fixture(f"scale_data/degen_{kind}", kind)
         for name, entry in REGISTRY.items():
-            if name in ALLOWLIST.get(kind, ()):
-                results.append((name, kind, "OK-pinned-divergence", ""))
-                continue
+            pinned = name in ALLOWLIST.get(kind, ())
             spark.catalog.clearCache()
             try:
                 if entry.oracle is None:
                     n = entry.fn(spark, sf).count()
-                    results.append((name, kind, "OK-rows-only", f"{n} rows"))
+                    outcome, msg = "OK-rows-only", f"{n} rows"
                 else:
                     compare_query(spark, entry.fn, entry.oracle, sf, name)
-                    results.append((name, kind, "OK", ""))
+                    outcome, msg = "OK", ""
+                if pinned:
+                    outcome, msg = "PIN-STALE", (
+                        "pinned divergence no longer reproduces — an engine "
+                        "changed; re-audit the pin"
+                    )
             except Exception as e:  # noqa: BLE001 — triage tool reports all
                 head = "".join(traceback.format_exception_only(type(e), e))[:300]
-                kindcls = (
+                outcome = (
                     "SPARK-ERR" if "pyspark" in type(e).__module__ or "py4j" in repr(e)[:2000].lower()
                     else "DUCK-ERR" if "duckdb" in type(e).__module__
                     else "MISMATCH" if isinstance(e, AssertionError)
                     else "ERR"
                 )
-                results.append((name, kind, kindcls, head.replace("\n", " ")))
+                msg = head.replace("\n", " ")
+                if pinned and (
+                    outcome in pin_expect.get(kind, ())
+                    or any(sig in msg for sig in pin_expect.get(kind, ()))
+                ):
+                    outcome, msg = "OK-pinned-divergence", ""
+            results.append((name, kind, outcome, msg))
         import gc
 
         gc.collect()

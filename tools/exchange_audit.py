@@ -37,20 +37,58 @@ SF = "/root/testdata/sf0.01"
 
 
 def _exchanges(plan: str):
-    """Yield (node_id, input_cols, arguments) for every Exchange."""
-    for m in re.finditer(r"\((\d+)\) Exchange", plan):
-        nid = m.group(1)
-        seg = plan[plan.find(f"({nid}) Exchange"):][:600]
+    """Yield (node_id, input_cols, arguments) for every shuffle
+    Exchange. The node detail runs from its header to the next
+    '(N) <Op>' header — no fixed-width window, so arbitrarily wide
+    Input lists still parse (review finding: a 600-char slice
+    silently dropped >35-column exchanges)."""
+    headers = [(m.start(), m.group(1)) for m in re.finditer(r"\((\d+)\) [A-Z]", plan)]
+    for i, (pos, nid) in enumerate(headers):
+        if not plan.startswith(f"({nid}) Exchange", pos):
+            continue
+        end = headers[i + 1][0] if i + 1 < len(headers) else len(plan)
+        seg = plan[pos:end]
         inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", seg)
         arg = re.search(r"Arguments: ([^\n]*)", seg)
         if inp and arg:
             yield nid, inp.group(1), arg.group(1)
 
 
-def classify(cols: str, args: str) -> str:
+def _consuming_join(plan: str, nid: str) -> str | None:
+    """Walk the plan TREE upward from exchange `nid` to the nearest
+    ancestor join operator; return its line (e.g. 'SortMergeJoin
+    LeftSemi (22)') or None. Ancestor = the closest preceding tree
+    line with strictly smaller indentation."""
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    target = next((i for i, ln in enumerate(tree) if f"({nid})" in ln), None)
+    if target is None:
+        return None
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+    cur = indent(tree[target])
+    for ln in reversed(tree[:target]):
+        ind = indent(ln)
+        if ind < cur:
+            cur = ind
+            if "Join" in ln:
+                return ln.strip()
+    return None
+
+
+def classify(plan: str, nid: str, args: str) -> str:
+    """A text-carrying exchange is benign ONLY as (a) the gated
+    single-file round-robin spread, or (b) the input of a LeftSemi
+    join — the candidate-prune shape, where text IS the payload being
+    pruned and the runtime bloom filter keeps the shuffle volume at
+    the match rate. Feeding any other join (or operator) means text
+    could have been projected below the exchange — the round-6
+    regression class — so it is flagged. (Review finding: a
+    doc-id-key allowlist would have passed the exact join-first
+    pipeline shape the audit was built to reject.)"""
     if "RoundRobinPartitioning" in args and "REPARTITION_BY_NUM" in args:
         return "guard"
-    if "hashpartitioning" in args and re.search(r"hashpartitioning\((?:doc_)?id#", args):
+    join = _consuming_join(plan, nid)
+    if join is not None and "LeftSemi" in join:
         return "semi-join"
     return "FLAGGED"
 
@@ -60,6 +98,11 @@ def main() -> int:
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="exchange-audit", master="local[4]", shuffle_partitions=8)
+    # Render the WORST-CASE plan: auto-broadcast off, so a join whose
+    # small side happens to broadcast at sf0.01 shows the shuffle it
+    # would pay at 100 TB (review finding: default thresholds let
+    # scale-dependent text shuffles hide behind BroadcastHashJoin).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     counts = {"guard": 0, "semi-join": 0, "FLAGGED": 0, "embedding": 0}
     flagged: list[tuple[str, str, str, str]] = []
@@ -67,7 +110,7 @@ def main() -> int:
         plan = entry.fn(spark, SF)._jdf.queryExecution().explainString(mode)
         for nid, cols, args in _exchanges(plan):
             if re.search(r"\btext#", cols):
-                cls = classify(cols, args)
+                cls = classify(plan, nid, args)
                 counts[cls] += 1
                 if cls == "FLAGGED":
                     flagged.append((name, nid, cols[:100], args[:100]))
