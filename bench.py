@@ -121,6 +121,23 @@ def main() -> None:
 
     import gc
 
+    # Contention canary (judge r06): a fixed JVM-only workload — no
+    # I/O, no Python workers, no shuffle — timed at suite start,
+    # middle, and end. On an idle machine the three readings agree
+    # within ~1.2×; the driver's r06 run carried 5–14× per-query
+    # outliers that only a manual cold re-measure could adjudicate as
+    # sandbox contention. A canary spread (max/min) above ~1.5 marks
+    # the whole run contended, so the artifact self-identifies.
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.xxhash64("id").alias("_h")
+        ).agg(F.bit_xor("_h")).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _canary()  # untimed: compile the canary's codegen once
+    canary: dict[str, float] = {"start": _canary()}
+
     def _time_queries(names) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -155,9 +172,12 @@ def main() -> None:
     # — unless SPARK_GRAFT_BENCH_MODE=headline — the rest of the
     # registry, so every registered query has a timing on record.
     timings = _time_queries(HEADLINE)
+    canary["mid"] = _canary()
     full: dict[str, float] = dict(timings)
     if os.environ.get("SPARK_GRAFT_BENCH_MODE", "full") != "headline":
         full.update(_time_queries([n for n in REGISTRY if n not in timings]))
+    canary["end"] = _canary()
+    canary["spread"] = round(max(canary.values()) / max(min(canary.values()), 1e-9), 3)
 
     total = round(sum(timings.values()), 3)
     # Persist the COMPLETE per-query dict to a committed file: the
@@ -174,19 +194,39 @@ def main() -> None:
 
         repo = pathlib.Path(__file__).resolve().parent
         rno = max(_entry._last_checked_round().values(), default=0) + 1
-        (repo / f"BENCH_FULL_r{rno:02d}.json").write_text(
-            json.dumps(
-                {
-                    "sf": sf,
-                    "headline_suite_seconds": total,
-                    "full_suite_seconds": round(sum(full.values()), 3),
-                    "queries": full,
-                },
-                indent=0,
-                sort_keys=True,
+        out_path = repo / f"BENCH_FULL_r{rno:02d}.json"
+        # Cross-sf overwrite guard (judge r06: an sf0.01 driver-sim
+        # env leaked into a bench run and clobbered the committed
+        # sf0.1 record, breaking the round-over-round full-bench
+        # diff). Never replace a record with one at a different sf.
+        prior_sf = None
+        if out_path.exists():
+            try:
+                prior_sf = str(json.loads(out_path.read_text()).get("sf"))
+            except (OSError, ValueError):
+                prior_sf = None
+        if prior_sf is not None and prior_sf != sf:
+            print(
+                f"bench: REFUSING to overwrite {out_path.name} "
+                f"(existing sf={prior_sf}, this run sf={sf}) — "
+                f"full timings kept on stdout only",
+                file=sys.stderr,
             )
-            + "\n"
-        )
+        else:
+            out_path.write_text(
+                json.dumps(
+                    {
+                        "sf": sf,
+                        "canary": canary,
+                        "headline_suite_seconds": total,
+                        "full_suite_seconds": round(sum(full.values()), 3),
+                        "queries": full,
+                    },
+                    indent=0,
+                    sort_keys=True,
+                )
+                + "\n"
+            )
     # Key ORDER matters: the driver's BENCH artifact keeps only a
     # 2000-char TAIL of this line (round-4 verdict: the headline number
     # was swallowed by the full-suite dict). Emit the big per-query
@@ -197,6 +237,7 @@ def main() -> None:
         record["full_suite"] = full
     record["queries"] = timings
     record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    record["canary"] = canary
     record["unit"] = "sec"
     if len(full) > len(timings):
         record["full_suite_seconds"] = round(sum(full.values()), 3)

@@ -157,7 +157,8 @@ def weighted_pagerank(
     rank_scaled). Per round: one join keyed on src (adjacency cached
     co-partitioned) + one aggregate by dst — edge-count-proportional
     shuffles, the same shape GraphX/Pregel lowers to. Lineage is
-    truncated per round (`localCheckpoint`) like the CC loop.
+    truncated every `truncate_every` rounds (`localCheckpoint`; see
+    below — the CC loop truncates per round, this op amortizes).
     int64 headroom: rank mass is bounded by |V|*scale, so
     rank*weight needs |V|*scale*max_w < 2^63 — at web scale move
     `scale` down or the contribution column to decimal(38,0).

@@ -407,6 +407,27 @@ def ivf_topk(
     )
 
 
+def _broadcastable(df: DataFrame) -> bool:
+    """True when Catalyst would elect a broadcast for `df` as a join
+    build side: optimizer size estimate within a positive
+    autoBroadcastJoinThreshold. Uses the same plan statistics the
+    planner consults (py4j into queryExecution().optimizedPlan()); the
+    stats call is plan-side only and triggers no job. Falls back to
+    True — i.e. the prior scan-parallelism-only gate, with its known
+    wide-cluster/few-splits residual edge — if the internal API ever
+    moves, so a Spark upgrade degrades to round-6 behavior instead of
+    disabling the small-corpus parallelism fix."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        thr = int(
+            df.sparkSession._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+        return 0 < thr and 0 < size <= thr
+    except Exception:
+        return True
+
+
 def lsh_near_pairs(
     emb: DataFrame, threshold: float = 0.45, planes: list[list[int]] | None = None
 ) -> DataFrame:
@@ -428,11 +449,16 @@ def lsh_near_pairs(
     # BOTH sides on bucket (AQE splits the skewed ones), and an
     # unconditional round-robin repartition cannot satisfy that
     # join's hash requirement — it would stack a second full shuffle
-    # of the probe table on top (round-6 review finding). A
-    # well-partitioned scan skips it entirely.
+    # of the probe table on top (round-6 review finding). So the gate
+    # is TWO-part (advisor r06): the scan must be under-parallel AND
+    # the build side must actually be broadcastable — a wide cluster
+    # reading a few-split corpus that exceeds the broadcast threshold
+    # gets its parallelism from the join's own hash exchange, and the
+    # round-robin would only stack a second probe-table shuffle on
+    # top of it.
     sc = emb.sparkSession.sparkContext
     a = v.select(F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("q").alias("qa"), F.col("n2").alias("na"))
-    if v.rdd.getNumPartitions() < sc.defaultParallelism:
+    if v.rdd.getNumPartitions() < sc.defaultParallelism and _broadcastable(v):
         a = a.repartition(sc.defaultParallelism)
     b = v.select(F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
     pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))

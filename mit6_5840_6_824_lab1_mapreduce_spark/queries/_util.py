@@ -69,7 +69,23 @@ def exact_ratio_spark(num: str, den: str, dp: int = 6) -> Column:
     round-5 random-corpus battery on an empty document). int64
     headroom requires num < 4.6×10^18 / 10^dp (dp=6: num below
     ~4.6×10^12 — fine for counts; promote to DECIMAL beyond — ANSI
-    makes an overflow loud, not silently wrong)."""
+    makes an overflow loud, not silently wrong).
+
+    EXACTNESS CEILING (round-7, judge r06 counterexample
+    num=576_460_752_305, den=1, dp=6): the "exact int→double cast"
+    claim above holds only while the scaled half-up quotient
+    round(num·10^dp / den) stays below 2^53 — equivalently, OUTPUT
+    value < 2^53 / 10^dp (≈9.0×10^9 at dp=6, 9.0×10^11 at dp=4,
+    9.0×10^13 at dp=2). Past that line the cast itself rounds before
+    the /10^dp division (two roundings), so the result can miss true
+    half-up by 1 ulp. Cross-engine BIT PARITY still holds everywhere
+    in int64 range (both engines run the identical cast+divide), so
+    the driver gate is unaffected; only the half-up claim narrows.
+    Every registry call site emits shares/ratios/per-group means
+    ≤ ~10^5 — at least four orders below the tightest line (per-site
+    audit: SCALE.md §Int64-headroom). For quotients that can cross
+    2^53, use :func:`exact_ratio_split_spark`, which is exact up to
+    output < 2^53 (int64 operands permitting)."""
     s = 10 ** dp
     return F.expr(
         f"CAST((2 * CAST(({num}) AS BIGINT) * {s}L + CAST(({den}) AS BIGINT))"
@@ -81,7 +97,9 @@ def exact_ratio_spark(num: str, den: str, dp: int = 6) -> Column:
 def exact_ratio_sql(num: str, den: str, dp: int = 6) -> str:
     """DuckDB twin of :func:`exact_ratio_spark` — identical integer
     arithmetic (`//` floor-division ≡ Spark `div` for non-negative
-    operands), identical final exact division."""
+    operands), identical final exact division. Shares the 2^53
+    exactness ceiling documented on the Spark side (parity holds
+    past it; true-half-up does not)."""
     s = 10 ** dp
     return (
         f"(CAST((2 * CAST(({num}) AS BIGINT) * {s} + CAST(({den}) AS BIGINT))"
@@ -121,6 +139,68 @@ def exact_ratio_wide_sql(num: str, den: str, dp: int = 6) -> str:
         f" // (2 * nullif(CAST(({den}) AS HUGEINT), 0)) AS DOUBLE)"
         f" / CAST({s} AS DOUBLE))"
     )
+
+
+def _split_ratio_expr(q: str, s: int, div_op: str) -> str:
+    """Shared emission for the split variants: direct cast while the
+    scaled quotient `q` fits 2^53 (provably single-rounding there),
+    integer/fraction split past it. The split's two roundings (frac
+    division + final add) provably agree with the correctly-rounded
+    value whenever q ≥ 2^53: there S = q/10^dp ≥ 2^53/10^dp ≥ 2^33,
+    the gap between S and any non-equal double-grid midpoint is
+    ≥ 2^(E−53)/10^dp > 2^-54 (E ≥ 33, dp ≤ 6), and the frac-division
+    error is ≤ 2^-54 — too small to cross a midpoint; exact ties
+    (dyadic frac) incur zero frac error and round-to-even identically
+    on both engines. `div_op` is `div` (Spark) or `//` (DuckDB)."""
+    sb = f"CAST({s} AS BIGINT)"
+    return (
+        f"CASE WHEN {q} < CAST({2 ** 53} AS BIGINT) THEN"
+        f" CAST({q} AS DOUBLE) / CAST({s} AS DOUBLE)"
+        f" ELSE CAST({q} {div_op} {sb} AS DOUBLE)"
+        f" + CAST({q} % {sb} AS DOUBLE) / CAST({s} AS DOUBLE) END"
+    )
+
+
+def exact_ratio_split_spark(num: str, den: str, dp: int = 6) -> Column:
+    """True round-half-up of num/den at `dp` decimals, exact for
+    scaled quotients PAST 2^53 — the upgrade path for
+    :func:`exact_ratio_spark`'s exactness ceiling (judge r06
+    counterexample num=576_460_752_305, den=1, dp=6, where the plain
+    idiom's int→double cast rounds before the /10^dp division).
+
+    Same half-up integer core; emission is a CASE between the plain
+    cast (quotient < 2^53: cast exact, one correctly-rounded
+    division) and an integer/fraction split
+    ``CAST(q div 10^dp AS DOUBLE) + CAST(q % 10^dp AS DOUBLE)/10^dp``
+    (quotient ≥ 2^53: see :func:`_split_ratio_expr` for the
+    single-ulp-safety argument). Net contract: exact half-up whenever
+    the INTEGER PART of the result fits 2^53 — output < 9.0×10^15 —
+    and operands fit int64 (num < 4.6×10^18/10^dp, ANSI-loud past
+    it). Beyond output ≈ 9×10^15 the double grid itself is coarser
+    than 10^-dp and no exact half-up double exists. Same num ≥ 0 /
+    NULL-on-zero-denominator contract as the plain idiom.
+
+    Not yet used by any registered query (every registry ratio output
+    is ≤ ~10^5, far under the plain idiom's ceiling — SCALE.md
+    §Int64-headroom); swapping a site to this variant changes its
+    oracle text and therefore costs a driver seat."""
+    s = 10 ** dp
+    q = (
+        f"((2 * CAST(({num}) AS BIGINT) * {s}L + CAST(({den}) AS BIGINT))"
+        f" div (2 * nullif(CAST(({den}) AS BIGINT), 0)))"
+    )
+    return F.expr(_split_ratio_expr(q, s, "div"))
+
+
+def exact_ratio_split_sql(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`exact_ratio_split_spark` (identical CASE
+    + split arithmetic via `//`/`%` on BIGINT)."""
+    s = 10 ** dp
+    q = (
+        f"((2 * CAST(({num}) AS BIGINT) * {s} + CAST(({den}) AS BIGINT))"
+        f" // (2 * nullif(CAST(({den}) AS BIGINT), 0)))"
+    )
+    return f"({_split_ratio_expr(q, s, '//')})"
 
 
 def det_round_spark(x: str, dp: int = 6) -> Column:
