@@ -30,4 +30,9 @@ from . import profiling  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import bpe  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "query"]
+# STAGED (r08 candidates): registers into registry.STAGED, NOT
+# REGISTRY — invisible to the driver window until promotion.
+from . import staged  # noqa: E402,F401
+from .registry import STAGED
+
+__all__ = ["REGISTRY", "STAGED", "query"]

@@ -1,0 +1,533 @@
+r"""Round-8 registry candidates, STAGED (implemented + oracle-tested,
+not yet driver-visible).
+
+Seat discipline: the r07 correctness window is exactly the r03/r04
+staleness cohort + the overflow-changed rows + the KV pins — any new
+registration would push a stale row past the ≤2-round freshness
+target (round-6 verdict task 5). So these six queries carry the full
+@query contract — Spark fn + DuckDB oracle, same compare battery in
+``tests/test_staged_queries.py`` — but land in ``registry.STAGED``;
+promotion in r08 is a one-word decorator flip (``staged_query`` →
+``query``) per entry once ``CORRECTNESS_r07.json`` frees the window.
+
+All six are compositions of proven idioms (md5 ranks, exact ratios,
+block hashes, pack frames, gaps-and-islands windows) — no new
+operator modules, no new scan shapes. 100 TB posture is noted per
+query; the registry-wide exchange audit / determinism sweep pick
+them up automatically on promotion (they iterate REGISTRY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import table
+from .registry import staged_query
+from .training import (
+    PACK_BUDGET,
+    PASSAGE_BLOCK,
+    pack_sequences_frame,
+    pack_sql,
+    _tokens,
+)
+from ._util import (
+    exact_ratio_spark,
+    exact_ratio_sql,
+    exact_ratio_wide_spark,
+    exact_ratio_wide_sql,
+)
+
+# --------------------------------------------------------------- 1/6
+# Exact substring dedup: longest shared run of consecutive block
+# hashes between two documents. Document-level dedup (exact/MinHash)
+# misses a long passage copied into otherwise-different documents;
+# dedup_passage_blocks counts shared blocks but not their CONTIGUITY.
+# A run of r consecutive matching PASSAGE_BLOCK-token blocks certifies
+# an exact shared substring of ≥ r*PASSAGE_BLOCK tokens.
+#
+# Shape (100 TB): linear block explode (corpus_tokens/BLOCK rows) →
+# block-hash equi-join restricted to hashes with 2..SUBSTR_DF_CAP
+# occurrences (the hot-bucket cap from dedup_minhash_lsh_capped:
+# ubiquitous boilerplate blocks would otherwise pair quadratically;
+# at the cap the join fan-out per hash is ≤ CAP², and dropped hashes
+# are exactly the ones a keeper rule would strip as boilerplate
+# anyway) → per-pair gaps-and-islands on the position diagonal
+# (ia - ib), which is one window + one aggregate over candidate pairs
+# only. Never doc × doc.
+SUBSTR_DF_CAP = 50
+
+
+@staged_query(
+    "dedup_substring_runs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\p{{L}}]+') AS ts
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(floor(len(ts) / {PASSAGE_BLOCK}.0) AS BIGINT)),
+               i -> struct_pack(
+                 idx := i,
+                 h := md5(array_to_string(
+                        ts[i * {PASSAGE_BLOCK} + 1 : i * {PASSAGE_BLOCK} + {PASSAGE_BLOCK}],
+                        ' '))))) AS b
+      FROM toks
+    ),
+    pos AS (SELECT doc_id, b.idx AS idx, b.h AS h FROM blocks),
+    ok AS (
+      SELECT h FROM pos GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    cand AS (SELECT p.doc_id, p.idx, p.h FROM pos p JOIN ok USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.idx AS ia, a.idx - b.idx AS d
+      FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, d,
+             ia - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                     ORDER BY ia) AS isl
+      FROM m
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, count(*) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, d, isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run_len) AS BIGINT) AS longest_run_blocks,
+           CAST(max(run_len) * {PASSAGE_BLOCK} AS BIGINT)
+             AS longest_run_tokens,
+           CAST(sum(run_len) AS BIGINT) AS n_matched_blocks
+    FROM islands
+    GROUP BY doc_a, doc_b
+    HAVING max(run_len) >= 2
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest exact shared substring (in PASSAGE_BLOCK-token units)
+    per candidate document pair: match block hashes positionally,
+    then find the longest run of consecutive matches on each diagonal
+    ia−ib via gaps-and-islands (island key = ia − row_number, both
+    engines deterministic because ia is unique within a diagonal).
+    Pairs are emitted when the longest run spans ≥ 2 blocks — an
+    exact shared substring of ≥ 2·PASSAGE_BLOCK tokens, strong
+    evidence of copying rather than coincidence."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("ts")
+    )
+    nb = F.floor(F.size("ts") / PASSAGE_BLOCK).cast("int")
+    bstructs = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("idx"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("ts", i * PASSAGE_BLOCK + 1, PASSAGE_BLOCK)
+                    )
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<idx:long,h:string>>"))
+    pos = toks.select("doc_id", F.explode(bstructs).alias("b")).select(
+        "doc_id", F.col("b.idx").alias("idx"), F.col("b.h").alias("h")
+    )
+    ok = (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .where((F.col("occ") >= 2) & (F.col("occ") <= SUBSTR_DF_CAP))
+        .select("h")
+    )
+    cand = pos.join(ok, "h")
+    a = cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("idx").alias("ia"), "h"
+    )
+    b = cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("idx").alias("ib"), "h"
+    )
+    m = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "ia", (F.col("ia") - F.col("ib")).alias("d")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")
+    islands = (
+        m.withColumn("isl", F.col("ia") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "d", "isl")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_run_blocks"),
+            (F.max("run_len") * PASSAGE_BLOCK)
+            .cast("long")
+            .alias("longest_run_tokens"),
+            F.sum("run_len").cast("long").alias("n_matched_blocks"),
+        )
+        .where(F.col("longest_run_blocks") >= 2)
+    )
+
+
+# --------------------------------------------------------------- 2/6
+# URL/domain-aware keeper: the web-corpus staple. documents has no
+# url column, so one is SYNTHESIZED deterministically (md5-derived
+# host bucket + doc_id path) — the keeper semantics under test are
+# real; only the url values are a stand-in, exactly like the KV
+# event stream synthesizes client ids.
+N_HOSTS = 20
+
+
+@staged_query(
+    "dedup_url_keeper",
+    oracle=rf"""
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(CAST(('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) % {N_HOSTS} AS VARCHAR)
+               || '.example.com' AS host,
+             md5(text) AS content_digest
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, host, content_digest,
+             'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             count(*) OVER (PARTITION BY content_digest) AS group_n,
+             row_number() OVER (PARTITION BY content_digest
+                                ORDER BY host, doc_id) AS rn
+      FROM u
+    )
+    SELECT doc_id, url, host, content_digest,
+           CAST(group_n AS BIGINT) AS group_n,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM g
+    """,
+)
+def dedup_url_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL-group keeper selection: group documents by exact
+    content digest and keep ONE per group, preferring the
+    lexicographically-smallest host then the smallest doc_id — the
+    deterministic restatement of "keep the canonical domain's copy"
+    (production swaps the host ordering for a domain-rank table; the
+    plan shape is identical). Output is a full verdict table: every
+    document with its synthesized url, its duplicate-group size, and
+    its keep/drop flag.
+
+    Shape (100 TB): one digest-keyed window (count + row_number over
+    the same partitioning — ONE exchange; Catalyst projects the
+    digest below it, so the text column never shuffles, the
+    text_fingerprint lesson)."""
+    d = table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("host:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % N_HOSTS
+        ).cast("string"),
+        F.lit(".example.com"),
+    )
+    u = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.md5("text").alias("content_digest"),
+    )
+    wp = Window.partitionBy("content_digest")
+    g = u.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "host",
+        "content_digest",
+        F.count("*").over(wp).cast("long").alias("group_n"),
+        F.row_number()
+        .over(wp.orderBy("host", "doc_id"))
+        .alias("rn"),
+    )
+    return g.select(
+        "doc_id",
+        "url",
+        "host",
+        "content_digest",
+        "group_n",
+        F.when(F.col("rn") == 1, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------------------------------- 3/6
+# Repetition / compressibility score: repeated word-3-gram mass per
+# document — the standard signal for dropping degenerate generations
+# (looping model output, keyword stuffing). rep_score = repeated-gram
+# fraction = (total − distinct) / total 3-grams; NULL when the doc has
+# no 3-grams (< 3 tokens), identically on both engines.
+REP_GRAM = 3
+
+
+@staged_query(
+    "text_repetition_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\p{{L}}]+') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= {REP_GRAM}
+                  THEN list_transform(range(0, len(ts) - {REP_GRAM} + 1),
+                         i -> array_to_string(ts[i + 1 : i + {REP_GRAM}], ' '))
+                  ELSE [] END AS gs
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           {exact_ratio_sql("len(gs) - len(list_distinct(gs))", "len(gs)")}
+             AS rep_score
+    FROM grams
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition score: fraction of word-REP_GRAM-grams
+    that are repeats of an earlier gram in the same document
+    ((total − distinct) / total, exact-ratio half-up; numerator is
+    doc-bounded so the narrow idiom's ceilings hold by construction).
+    Documents with fewer than REP_GRAM tokens score NULL — no grams,
+    not zero repetition.
+
+    Shape (100 TB): single scan, per-row array expressions (gram
+    construction + distinct inside the row), one narrow projection
+    out — no shuffle beyond table()'s under-parallel-scan guard
+    (which never fires on a many-split corpus)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("ts")
+    )
+    ng = F.size("ts") - (REP_GRAM - 1)
+    grams = F.when(
+        F.size("ts") >= REP_GRAM,
+        F.transform(
+            F.sequence(F.lit(0), ng - 1),
+            lambda i: F.concat_ws(" ", F.slice("ts", i + 1, REP_GRAM)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", grams.alias("gs"))
+    return g.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("gs")).cast("long").alias("n_distinct"),
+        exact_ratio_spark(
+            "size(gs) - size(array_distinct(gs))", "size(gs)"
+        ).alias("rep_score"),
+    )
+
+
+# --------------------------------------------------------------- 4/6
+# Char-entropy perplexity proxy: integer-exact floor-log2 entropy of
+# the per-document character distribution. True Shannon entropy needs
+# libm log2 (cross-engine last-ulp risk, the ln caveat in SCALE.md);
+# this proxy uses surprise_floor(c) = floor(log2(N div c)) via the
+# length(bin(n))−1 idiom — every step integer, bit-identical on any
+# engine, and monotone in the true surprise, which is all a
+# quality-filter threshold needs.
+
+
+@staged_query(
+    "text_char_entropy",
+    oracle=rf"""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      FROM counts
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(c * (length(bin(n // c)) - 1)) AS BIGINT)
+             AS entropy_num,
+           {exact_ratio_sql("sum(c * (length(bin(n // c)) - 1))", "max(n)")}
+             AS entropy_floor_bits
+    FROM tot
+    GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact character-entropy proxy per document:
+    Σ c·floor(log2(N div c)) / N over the doc's character counts —
+    near 0 for single-character spam, ~4-5 bits for natural text.
+    floor-log2 is length(bin(n))−1 (proven parity idiom from the
+    HLL/histogram sketches); the ratio is the narrow exact-ratio
+    (numerator ≤ 63·N, doc-bounded). Empty documents have no char
+    rows and are absent from the output on BOTH engines (explode and
+    unnest agree on dropping empty lists).
+
+    Shape (100 TB): char explode is linear in corpus bytes and the
+    exchange carries (doc_id, ch) — never the text column; one
+    narrow aggregate + one doc-keyed window + one final aggregate."""
+    chars = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    surprise_mass = F.expr("c * (length(bin(n div c)) - 1)")
+    return tot.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars_counted"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum(surprise_mass).cast("long").alias("entropy_num"),
+        exact_ratio_spark(
+            "sum(c * (length(bin(n div c)) - 1))", "max(n)"
+        ).alias("entropy_floor_bits"),
+    )
+
+
+# --------------------------------------------------------------- 5/6
+# Per-source reservoir sample: deterministic md5-rank top-K per
+# source — the bounded, reproducible training-subset extraction every
+# pipeline needs for eval carve-outs and spot-audits. A true
+# streaming reservoir is RNG-stateful; ranking by a seeded hash gives
+# the same uniform-without-replacement marginal distribution with no
+# state at all (the corpus_sample_temperature idiom, windowed).
+RESERVOIR_K = 16
+
+
+@staged_query(
+    "corpus_reservoir_sample",
+    oracle=rf"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('reservoir:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= {RESERVOIR_K}
+    """,
+)
+def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-document sample per source: rank documents by
+    md5('reservoir:'||doc_id) (doc_id tie-break for the theoretical
+    collision) within each source, keep rank ≤ K. Re-running on the
+    same corpus reproduces the sample exactly; adding documents
+    perturbs it minimally (only hashes that land in the top K).
+
+    Shape (100 TB): one window keyed on source. A skew-hot source is
+    bounded by rank ≤ K semantics — Spark runs this as a partial
+    top-K per map task before the exchange when the window is
+    rank-limited (WindowGroupLimit in the physical plan), so the
+    shuffle carries ~K rows per source per task, not the corpus."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= RESERVOIR_K)
+    )
+
+
+# --------------------------------------------------------------- 6/6
+# Packing-efficiency histogram: pure composition over the
+# corpus_pack_sequences frame. Contiguous stream packing fills every
+# interior sequence by construction — the operational questions are
+# (a) how fragmented sequences are (documents straddling boundaries →
+# attention-mask waste) and (b) how much tail capacity each shard
+# strands. Histogram rows are keyed by documents-touching-sequence.
+
+
+@staged_query(
+    "corpus_packing_efficiency",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    {pack_sql("t")},
+    shard_tot AS (
+      SELECT shard, sum(n_tokens) AS tot FROM packed GROUP BY shard
+    ),
+    seqs AS (
+      SELECT p.shard, unnest(generate_series(p.seq_first, p.seq_last)) AS seq
+      FROM packed p
+    ),
+    per_seq AS (
+      SELECT s.shard, s.seq, count(*) AS n_docs,
+             least(CAST({PACK_BUDGET} AS BIGINT),
+                   st.tot - s.seq * {PACK_BUDGET}) AS fill_tokens
+      FROM seqs s JOIN shard_tot st USING (shard)
+      GROUP BY s.shard, s.seq, st.tot
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs_in_seq,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(fill_tokens) AS BIGINT) AS fill_tokens_total,
+           {exact_ratio_wide_sql("sum(fill_tokens)",
+                                 f"count(*) * {PACK_BUDGET}")} AS fill_rate
+    FROM per_seq
+    GROUP BY n_docs
+    """,
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of packing outcomes per training sequence: group
+    sequences by how many documents touch them (1 = clean, ≥2 =
+    cross-document attention masking needed) with each bucket's
+    total and mean fill. fill_tokens is PACK_BUDGET for every
+    sequence except each shard's last (tot − seq·BUDGET remaining);
+    fill_rate uses the WIDE exact ratio — the numerator is a
+    whole-corpus token sum (the advisor-r05 promotion class).
+
+    Shape (100 TB): reuses pack_sequences_frame (ONE shared packing
+    rule with corpus_pack_sequences / pipeline_training_export, so
+    the boundary rule cannot drift); the seq explode adds ≤
+    n_tokens/BUDGET + 1 rows per doc (linear, narrow ints); shard
+    totals are an 8-row broadcast."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences_frame(d)
+    shard_tot = packed.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    seqs = packed.select(
+        "shard",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq"),
+    )
+    per_seq = (
+        seqs.join(F.broadcast(shard_tot), "shard")
+        .groupBy("shard", "seq", "tot")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "shard",
+            "seq",
+            "n_docs",
+            F.least(
+                F.lit(PACK_BUDGET).cast("long"),
+                F.col("tot") - F.col("seq") * PACK_BUDGET,
+            ).alias("fill_tokens"),
+        )
+    )
+    return per_seq.groupBy(F.col("n_docs").cast("long").alias("n_docs_in_seq")).agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum("fill_tokens").cast("long").alias("fill_tokens_total"),
+        exact_ratio_wide_spark(
+            "sum(fill_tokens)", f"count(*) * {PACK_BUDGET}"
+        ).alias("fill_rate"),
+    )

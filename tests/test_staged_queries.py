@@ -1,0 +1,266 @@
+"""Battery for the STAGED r08 registry candidates
+(queries/staged.py): full oracle parity at both fixture scales, the
+degenerate-input fixtures the registry sweep uses, and structural
+invariants the parity compare can't see (it proves Spark ≡ DuckDB,
+not that either meets the contract). Everything here must be green
+BEFORE promotion — the point of staging is that r08 registration is
+a decorator flip, not new work."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
+from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+    PACK_BUDGET,
+    PASSAGE_BLOCK,
+    RESERVOIR_K,
+    SUBSTR_DF_CAP,
+    corpus_packing_efficiency,
+    corpus_reservoir_sample,
+    dedup_substring_runs,
+    dedup_url_keeper,
+    text_char_entropy,
+    text_repetition_score,
+)
+from mit6_5840_6_824_lab1_mapreduce_spark.queries.training import (
+    _tokens,
+    pack_sequences_frame,
+)
+from mit6_5840_6_824_lab1_mapreduce_spark.plans import table
+from tests.oracle_check import compare_query
+from tools.degenerate_sweep import write_fixture
+
+from .conftest import SF_CORRECT, SF_SMOKE
+
+
+# ------------------------------------------------------ staging rules
+
+
+def test_staged_disjoint_from_registry():
+    """Staged names never collide with registered ones, every staged
+    entry carries an oracle (no rows-only candidates), and the driver
+    surface is untouched — promotion must be the FIRST time the
+    driver sees these names."""
+    assert not set(STAGED) & set(REGISTRY)
+    assert all(e.oracle for e in STAGED.values())
+    import __spark_entry__ as entry
+
+    assert not set(STAGED) & set(entry.queries())
+
+
+# ------------------------------------------------------ oracle parity
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity_smoke(spark, name):
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, SF_SMOKE, name)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity_correct_sf(spark, name):
+    """The driver gates at sf0.01 — stage the same scale."""
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, SF_CORRECT, name)
+
+
+@pytest.fixture(
+    scope="module",
+    params=["empty", "minimal", "unicode", "timewarp", "clique"],
+)
+def degen_dir(request, tmp_path_factory):
+    return write_fixture(
+        str(tmp_path_factory.mktemp("staged_degen") / request.param),
+        request.param,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_degenerate_parity(spark, name, degen_dir):
+    """Same adversarial fixtures the registry-wide sweep runs (empty
+    tables, minimal adversarial rows, unicode edge cases) — a staged
+    query that diverges on them would fail the sweep the round it's
+    promoted, so it fails here first."""
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, degen_dir, name)
+
+
+# ------------------------------------------- structural invariants
+
+
+def test_substring_runs_match_python_islands(spark):
+    """Independent ground truth for the gaps-and-islands logic: pull
+    the (doc, idx, block_hash) table once, then compute every pair's
+    longest shared diagonal run in pure Python (dict of positions,
+    O(matches)) honoring the DF cap, and compare the full result."""
+    toks = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", _tokens().alias("ts")
+    )
+    rows = toks.collect()
+    pos: list[tuple[int, int, str]] = []
+    import hashlib
+
+    for r in rows:
+        ts = r.ts
+        for i in range(len(ts) // PASSAGE_BLOCK):
+            blk = " ".join(ts[i * PASSAGE_BLOCK : (i + 1) * PASSAGE_BLOCK])
+            pos.append(
+                (r.doc_id, i, hashlib.md5(blk.encode("utf-8")).hexdigest())
+            )
+    occ: dict[str, int] = {}
+    for _, _, h in pos:
+        occ[h] = occ.get(h, 0) + 1
+    by_hash: dict[str, list[tuple[int, int]]] = {}
+    for doc, idx, h in pos:
+        if 2 <= occ[h] <= SUBSTR_DF_CAP:
+            by_hash.setdefault(h, []).append((doc, idx))
+    # matches[(a, b)] = set of (ia, ib)
+    matches: dict[tuple[int, int], set[tuple[int, int]]] = {}
+    for h, ps in by_hash.items():
+        for da, ia in ps:
+            for db, ib in ps:
+                if da < db:
+                    matches.setdefault((da, db), set()).add((ia, ib))
+    expected: dict[tuple[int, int], tuple[int, int]] = {}
+    for pair, ms in matches.items():
+        longest = 0
+        # islands per diagonal
+        diags: dict[int, list[int]] = {}
+        for ia, ib in ms:
+            diags.setdefault(ia - ib, []).append(ia)
+        total = sum(len(v) for v in diags.values())
+        for ias in diags.values():
+            ias.sort()
+            run = 1
+            for prev, cur in zip(ias, ias[1:]):
+                run = run + 1 if cur == prev + 1 else 1
+                longest = max(longest, run)
+            longest = max(longest, run if len(ias) else 0, 1)
+        if longest >= 2:
+            expected[pair] = (longest, total)
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_run_blocks, r.n_matched_blocks)
+        for r in dedup_substring_runs(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for r in dedup_substring_runs(spark, SF_SMOKE).collect():
+        assert r.longest_run_tokens == r.longest_run_blocks * PASSAGE_BLOCK
+
+
+def test_url_keeper_exactly_one_per_group(spark):
+    rows = dedup_url_keeper(spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus should produce verdicts"
+    by_digest: dict[str, list] = {}
+    for r in rows:
+        by_digest.setdefault(r.content_digest, []).append(r)
+    for digest, grp in by_digest.items():
+        assert sum(r.keep for r in grp) == 1, digest
+        assert all(r.group_n == len(grp) for r in grp)
+        keeper = min(grp, key=lambda r: (r.host, r.doc_id))
+        assert next(r for r in grp if r.keep) .doc_id == keeper.doc_id
+        for r in grp:
+            assert r.url == f"https://{r.host}/doc/{r.doc_id}"
+
+
+def test_repetition_score_matches_python(spark):
+    """Recompute the gram counts in pure Python from the tokenized
+    docs; the ratio itself is the property-tested exact_ratio."""
+    toks = {
+        r.doc_id: r.ts
+        for r in table(spark, SF_SMOKE, "documents")
+        .select("doc_id", _tokens().alias("ts"))
+        .collect()
+    }
+    out = {r.doc_id: r for r in text_repetition_score(spark, SF_SMOKE).collect()}
+    assert set(out) == set(toks)
+    saw_repeat = False
+    for doc_id, ts in toks.items():
+        grams = [" ".join(ts[i : i + 3]) for i in range(max(len(ts) - 2, 0))]
+        r = out[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        if not grams:
+            assert r.rep_score is None
+        elif len(grams) > len(set(grams)):
+            saw_repeat = True
+            assert r.rep_score == pytest.approx(
+                (len(grams) - len(set(grams))) / len(grams), abs=1e-6
+            )
+    assert saw_repeat, "fixture should contain at least one repetitive doc"
+
+
+def test_char_entropy_bounds_and_python_replay(spark):
+    """Floor-log2 entropy is bounded by the true entropy (≤ log2 N)
+    and replayable exactly in Python with integer ops."""
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMOKE, "documents").collect()
+        if r.text
+    }
+    out = {r.doc_id: r for r in text_char_entropy(spark, SF_SMOKE).collect()}
+    assert set(out) == {d for d, t in docs.items() if len(t) > 0}
+    for doc_id, text in docs.items():
+        if not text:
+            continue
+        counts: dict[str, int] = {}
+        for ch in text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = sum(counts.values())
+        num = sum(c * ((n // c).bit_length() - 1) for c in counts.values())
+        r = out[doc_id]
+        assert r.n_chars_counted == n
+        assert r.n_distinct_chars == len(counts)
+        assert r.entropy_num == num
+        assert 0 <= r.entropy_floor_bits <= math.log2(n) + 1e-9 if n > 1 else True
+
+
+def test_reservoir_sample_contract(spark):
+    """≤ K docs per source, ranks dense from 1, exactly K whenever the
+    source has ≥ K docs, and the selection is reproducible."""
+    d = table(spark, SF_SMOKE, "documents")
+    src_counts = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rows = corpus_reservoir_sample(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(src_counts)
+    for src, grp in by_src.items():
+        expect = min(RESERVOIR_K, src_counts[src])
+        assert len(grp) == expect
+        assert sorted(r.sample_rank for r in grp) == list(range(1, expect + 1))
+    again = {
+        (r.source, r.doc_id, r.sample_rank)
+        for r in corpus_reservoir_sample(spark, SF_SMOKE).collect()
+    }
+    assert again == {(r.source, r.doc_id, r.sample_rank) for r in rows}
+
+
+def test_packing_efficiency_reconciles_with_pack_frame(spark):
+    """The histogram must account for every sequence and every token
+    the shared pack frame produces: Σ n_seqs = Σ_shards ceil(tot/B),
+    Σ fill_tokens_total = Σ n_tokens, and fill_rate ≤ 1."""
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences_frame(d)
+    shard_tot = {
+        r.shard: r.tot
+        for r in packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    hist = corpus_packing_efficiency(spark, SF_SMOKE).collect()
+    assert sum(r.n_seqs for r in hist) == sum(
+        math.ceil(t / PACK_BUDGET) for t in shard_tot.values()
+    )
+    assert sum(r.fill_tokens_total for r in hist) == sum(shard_tot.values())
+    for r in hist:
+        assert 0 < r.fill_rate <= 1.0
+        assert r.n_docs_in_seq >= 1
