@@ -79,6 +79,32 @@ HEADLINE = [
 ]
 
 
+def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
+    """Persist the full per-query record — UNLESS a record already
+    exists at a different scale factor (judge r06: an sf0.01
+    driver-sim env leaked into a bench run and clobbered the
+    committed sf0.1 record, breaking the round-over-round full-bench
+    diff). Returns True when written."""
+    prior_sf = None
+    if out_path.exists():
+        try:
+            prior_sf = str(json.loads(out_path.read_text()).get("sf"))
+        except (OSError, ValueError):
+            prior_sf = None
+    if prior_sf is not None and prior_sf != sf:
+        print(
+            f"bench: REFUSING to overwrite {out_path.name} "
+            f"(existing sf={prior_sf}, this run sf={sf}) — "
+            f"full timings kept on stdout only",
+            file=sys.stderr,
+        )
+        return False
+    out_path.write_text(
+        json.dumps(payload, indent=0, sort_keys=True) + "\n"
+    )
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -194,39 +220,17 @@ def main() -> None:
 
         repo = pathlib.Path(__file__).resolve().parent
         rno = max(_entry._last_checked_round().values(), default=0) + 1
-        out_path = repo / f"BENCH_FULL_r{rno:02d}.json"
-        # Cross-sf overwrite guard (judge r06: an sf0.01 driver-sim
-        # env leaked into a bench run and clobbered the committed
-        # sf0.1 record, breaking the round-over-round full-bench
-        # diff). Never replace a record with one at a different sf.
-        prior_sf = None
-        if out_path.exists():
-            try:
-                prior_sf = str(json.loads(out_path.read_text()).get("sf"))
-            except (OSError, ValueError):
-                prior_sf = None
-        if prior_sf is not None and prior_sf != sf:
-            print(
-                f"bench: REFUSING to overwrite {out_path.name} "
-                f"(existing sf={prior_sf}, this run sf={sf}) — "
-                f"full timings kept on stdout only",
-                file=sys.stderr,
-            )
-        else:
-            out_path.write_text(
-                json.dumps(
-                    {
-                        "sf": sf,
-                        "canary": canary,
-                        "headline_suite_seconds": total,
-                        "full_suite_seconds": round(sum(full.values()), 3),
-                        "queries": full,
-                    },
-                    indent=0,
-                    sort_keys=True,
-                )
-                + "\n"
-            )
+        write_full_record(
+            repo / f"BENCH_FULL_r{rno:02d}.json",
+            sf,
+            {
+                "sf": sf,
+                "canary": canary,
+                "headline_suite_seconds": total,
+                "full_suite_seconds": round(sum(full.values()), 3),
+                "queries": full,
+            },
+        )
     # Key ORDER matters: the driver's BENCH artifact keeps only a
     # 2000-char TAIL of this line (round-4 verdict: the headline number
     # was swallowed by the full-suite dict). Emit the big per-query

@@ -14,9 +14,10 @@ from __future__ import annotations
 
 import re
 
-from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
 from mit6_5840_6_824_lab1_mapreduce_spark.queries._util import (
     det_round_sql,
+    exact_ratio_split_sql,
     exact_ratio_sql,
     exact_ratio_wide_sql,
 )
@@ -34,6 +35,15 @@ _WIDE_RE = re.compile(
     r" // \(2 \* nullif\(CAST\(\((?P=den)\) AS HUGEINT\), 0\)\) AS DOUBLE\)"
     r" / CAST\((?P=s) AS DOUBLE\)\)"
 )
+# The r07 split variant (exact past 2^53): CASE between plain cast
+# and integer/fraction split, three copies of the same quotient core.
+_SPLIT_RE = re.compile(
+    r"\(CASE WHEN \(\(2 \* CAST\(\((?P<num>.*?)\) AS BIGINT\) \* (?P<s>\d+)"
+    r" \+ CAST\(\((?P<den>.*?)\) AS BIGINT\)\)"
+    r" // \(2 \* nullif\(CAST\(\((?P=den)\) AS BIGINT\), 0\)\)\)"
+    r" < CAST\(\d+ AS BIGINT\) THEN.*?END\)",
+    re.DOTALL,
+)
 # Any idiom-LOOKING fragment that the strict skeletons above do not
 # match (a drifted copy): the structural core without the full form.
 _LOOSE_RATIO = re.compile(r"\(2 \* CAST\(\(.*?\) AS (BIGINT|HUGEINT)\)")
@@ -46,7 +56,9 @@ def _dp_of(s: str) -> int:
 
 def test_every_inlined_ratio_matches_the_canonical_generator():
     checked = 0
-    for name, e in REGISTRY.items():
+    # Staged r08 candidates are held to the same idiom discipline as
+    # the registry — promotion must not be the first idiom check.
+    for name, e in {**REGISTRY, **STAGED}.items():
         sql = e.oracle
         if not sql:
             continue
@@ -64,6 +76,12 @@ def test_every_inlined_ratio_matches_the_canonical_generator():
             want = exact_ratio_wide_sql(m.group("num"), m.group("den"),
                                         _dp_of(m.group("s")))
             assert m.group(0) == want, f"{name}: wide idiom drifted"
+            strict_spans.append(m.span())
+            checked += 1
+        for m in _SPLIT_RE.finditer(sql):
+            want = exact_ratio_split_sql(m.group("num"), m.group("den"),
+                                         _dp_of(m.group("s")))
+            assert m.group(0) == want, f"{name}: split idiom drifted"
             strict_spans.append(m.span())
             checked += 1
         # Enforcement for the loose pattern (advisor r05: it was

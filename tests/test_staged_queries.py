@@ -242,6 +242,67 @@ def test_reservoir_sample_contract(spark):
     assert again == {(r.source, r.doc_id, r.sample_rank) for r in rows}
 
 
+def test_staged_random_corpus_parity(spark, tmp_path_factory):
+    """Hypothesis corpus fuzz over all six staged queries (the r04
+    fixture-luck lesson: green on a curated fixture proves little).
+    Corpora are built to be adversarial for THIS family: documents
+    share 16-word passages at shifted alignments (substring-run
+    diagonals), contain exact duplicates (url-keeper groups), loops
+    (repetition), unicode + digits + empties (entropy/tokenizer
+    edges), and skewed sources (reservoir + packing shards)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["alpha", "beta", "gamma", "the", "und", "x9", "a,b", "é", "ωμ"]
+    # Pool of exactly-PASSAGE_BLOCK-word passages: concatenating them
+    # makes cross-document block-hash matches likely; a random 0-3
+    # word prefix shifts alignment so runs land on nonzero diagonals.
+    rng_passages = st.lists(
+        st.lists(st.sampled_from(words), min_size=PASSAGE_BLOCK,
+                 max_size=PASSAGE_BLOCK).map(" ".join),
+        min_size=2, max_size=3,
+    )
+    doc = st.tuples(
+        st.lists(st.sampled_from(words), min_size=0, max_size=3),  # prefix
+        st.lists(st.integers(min_value=0, max_value=2),            # passage picks
+                 min_size=0, max_size=4),
+        st.booleans(),                                             # loop a gram
+    )
+    corpus = st.tuples(rng_passages, st.lists(doc, min_size=1, max_size=10))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(corpus)
+    def run(example):
+        passages, docs = example
+        texts = []
+        for prefix, picks, loop in docs:
+            parts = list(prefix) + [
+                passages[p % len(passages)] for p in picks
+            ]
+            if loop:
+                parts += ["spam ham"] * 4
+            texts.append(" ".join(parts))
+        if docs and len(texts) >= 2:
+            texts[-1] = texts[0]  # force one exact-duplicate group
+        tmp = tmp_path_factory.mktemp("staged_rand")
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": [f"s{i % 2}" for i in range(len(texts))],
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(tmp / "documents.parquet")
+        for name in sorted(STAGED):
+            e = STAGED[name]
+            compare_query(spark, e.fn, e.oracle, str(tmp), f"rand-{name}")
+
+    run()
+
+
 def test_packing_efficiency_reconciles_with_pack_frame(spark):
     """The histogram must account for every sequence and every token
     the shared pack frame produces: Σ n_seqs = Σ_shards ceil(tot/B),

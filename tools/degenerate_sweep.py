@@ -429,9 +429,11 @@ def write_fixture(out_dir: str, kind: str) -> str:
 
 
 def sweep(fixtures: list[str]) -> int:
-    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
     from tests.oracle_check import compare_query
+
+    audited = {**REGISTRY, **STAGED}  # staged r08 candidates swept too
 
     spark = get_spark(app_name="degenerate-sweep", master="local[8]", shuffle_partitions=8)
     results: list[tuple[str, str, str, str]] = []
@@ -445,7 +447,7 @@ def sweep(fixtures: list[str]) -> int:
     pin_expect = {"empty": ("MISMATCH",), "unicode": ("non-ASCII",)}
     for kind in fixtures:
         sf = write_fixture(f"scale_data/degen_{kind}", kind)
-        for name, entry in REGISTRY.items():
+        for name, entry in audited.items():
             pinned = name in ALLOWLIST.get(kind, ())
             spark.catalog.clearCache()
             try:

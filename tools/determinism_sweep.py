@@ -74,8 +74,10 @@ def main() -> int:
     a = ap.parse_args()
     perturbed = PERTURBED[:1] if a.quick else PERTURBED
 
-    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
+
+    audited = {**REGISTRY, **STAGED}  # staged r08 candidates swept too
 
     spark = get_spark(
         app_name="determinism-sweep", master="local[8]", shuffle_partitions=8
@@ -85,7 +87,7 @@ def main() -> int:
         for k, v in conf.items():
             spark.conf.set(k, v)
         out = {}
-        for name, entry in REGISTRY.items():
+        for name, entry in audited.items():
             spark.catalog.clearCache()
             try:
                 out[name] = result_hash(entry.fn(spark, SF).toPandas())
@@ -109,7 +111,7 @@ def main() -> int:
         for name, h in got.items():
             if h != base[name]:
                 bad.append((name, label, base[name][:16], h[:40]))
-    print(f"\n==== DETERMINISM SUMMARY: {len(REGISTRY)} queries x "
+    print(f"\n==== DETERMINISM SUMMARY: {len(audited)} queries x "
           f"{len(perturbed)} perturbed configs, {len(bad)} divergent ====")
     for name, label, bh, gh in bad:
         print(f"[DIVERGE] {name} @ {label}: base={bh} got={gh}")
