@@ -85,12 +85,18 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
     driver-sim env leaked into a bench run and clobbered the
     committed sf0.1 record, breaking the round-over-round full-bench
     diff). Returns True when written."""
+    # A record that cannot testify to its sf — unreadable, non-dict
+    # JSON, or a dict without the key — is treated as ABSENT (replace
+    # it), never as a permanent refusal (review r07: .get on a parsed
+    # non-dict raised AFTER the whole timed suite had run).
     prior_sf = None
     if out_path.exists():
         try:
-            prior_sf = str(json.loads(out_path.read_text()).get("sf"))
+            loaded = json.loads(out_path.read_text())
         except (OSError, ValueError):
-            prior_sf = None
+            loaded = None
+        if isinstance(loaded, dict) and loaded.get("sf") is not None:
+            prior_sf = str(loaded["sf"])
     if prior_sf is not None and prior_sf != sf:
         print(
             f"bench: REFUSING to overwrite {out_path.name} "

@@ -13,8 +13,9 @@ promotion in r08 is a one-word decorator flip (``staged_query`` →
 All six are compositions of proven idioms (md5 ranks, exact ratios,
 block hashes, pack frames, gaps-and-islands windows) — no new
 operator modules, no new scan shapes. 100 TB posture is noted per
-query; the registry-wide exchange audit / determinism sweep pick
-them up automatically on promotion (they iterate REGISTRY).
+query; the exchange audit / determinism sweep / degenerate sweep
+already iterate ``{**REGISTRY, **STAGED}``, so these plans are
+audited every round BEFORE promotion, not after.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from ..plans import table
 from .registry import staged_query
 from .training import (
     PACK_BUDGET,
+    PACK_SHARDS,
     PASSAGE_BLOCK,
     pack_sequences_frame,
     pack_sql,
@@ -459,7 +461,7 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_packing_efficiency",
     oracle=rf"""
     WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard,
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
              CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),

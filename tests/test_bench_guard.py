@@ -37,9 +37,16 @@ def test_refuses_cross_sf_overwrite(tmp_path, capsys):
 
 
 def test_corrupt_existing_record_is_replaced(tmp_path):
-    """An unreadable record can't testify to its sf — treat as absent
-    rather than wedging the bench forever."""
-    p = tmp_path / "BENCH_FULL_r99.json"
-    p.write_text("{not json")
-    assert write_full_record(p, "0.1", _payload("0.1"))
-    assert json.loads(p.read_text())["sf"] == "0.1"
+    """A record that can't testify to its sf — unreadable, valid JSON
+    that isn't an object, or an object without the key — is treated
+    as absent rather than crashing after the timed suite or wedging
+    the bench forever (review r07: .get on parsed 'null' raised
+    AttributeError; a dict without 'sf' compared as the string
+    'None' and refused every future write)."""
+    for garbage in ["{not json", "null", "[]", '"0.1"', "{}",
+                    '{"queries": {}}']:
+        p = tmp_path / "BENCH_FULL_r99.json"
+        p.write_text(garbage)
+        assert write_full_record(p, "0.1", _payload("0.1")), garbage
+        assert json.loads(p.read_text())["sf"] == "0.1"
+        p.unlink()

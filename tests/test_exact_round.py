@@ -124,6 +124,56 @@ def test_exact_ratio_past_2pow53_parity_holds_half_up_does_not(spark):
 
 
 @st.composite
+def _past_ceiling_args(draw):
+    """(num, den, dp) whose scaled half-up quotient EXCEEDS 2^53 while
+    operands stay in int64 headroom — the region where the plain idiom
+    is documented parity-only (both engines identical bits, not true
+    half-up). den is kept ≤ 256 so a past-ceiling num always exists
+    under the operand cap 2·num·10^dp + den < 2^63."""
+    dp = draw(_dps)
+    s = 10 ** dp
+    den = draw(st.integers(min_value=1, max_value=256))
+    lo = (2**53 * den) // s + 1
+    hi = (2**63 - 1 - den) // (2 * s)
+    num = draw(st.integers(min_value=lo, max_value=hi))
+    return num, den, dp
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_past_ceiling_args())
+def test_exact_ratio_past_ceiling_bit_parity(spark, args):
+    """The narrowed contract's load-bearing half (review r07: the
+    domain-bounding fix removed the old strategy's incidental
+    property coverage of this region): past the 2^53 exactness
+    ceiling the plain idiom must still be BIT-IDENTICAL across
+    engines — the driver gate leans on exactly this — and within one
+    grid step of the true value. The split variant must be exactly
+    true half-up on the same draws."""
+    num, den, dp = args
+    s = 10 ** dp
+    ref_int = math.floor(Fraction(num * s, den) + Fraction(1, 2))
+    assert ref_int >= 2**53, "strategy must draw past the ceiling"
+    row = spark.range(1).select(
+        exact_ratio_spark(str(num), str(den), dp).alias("plain"),
+        exact_ratio_split_spark(str(num), str(den), dp).alias("split"),
+    ).head()
+    o_plain = duckdb.sql(
+        f"SELECT {exact_ratio_sql(str(num), str(den), dp)} AS v"
+    ).fetchone()[0]
+    assert row.plain == o_plain, (
+        f"plain idiom lost cross-engine bit-parity: {row.plain!r} != "
+        f"{o_plain!r}"
+    )
+    true_half_up = ref_int / s
+    # Off by at most one ulp of the scaled quotient (one extra
+    # rounding), never wildly wrong.
+    assert abs(row.plain - true_half_up) <= 2 * math.ulp(true_half_up)
+    if ref_int // s < 2**53:
+        assert row.split == true_half_up
+
+
+@st.composite
 def _split_ratio_args(draw):
     """(num, den, dp) across the split variant's FULL exact domain:
     int64 operand headroom (2·num·10^dp + den < 2^63) and integer
