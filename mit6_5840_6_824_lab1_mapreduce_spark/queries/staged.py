@@ -4,13 +4,13 @@ not yet driver-visible).
 Seat discipline: the r07 correctness window is exactly the r03/r04
 staleness cohort + the overflow-changed rows + the KV pins — any new
 registration would push a stale row past the ≤2-round freshness
-target (round-6 verdict task 5). So these six queries carry the full
+target (round-6 verdict task 5). So these eight queries carry the full
 @query contract — Spark fn + DuckDB oracle, same compare battery in
 ``tests/test_staged_queries.py`` — but land in ``registry.STAGED``;
 promotion in r08 is a one-word decorator flip (``staged_query`` →
 ``query``) per entry once ``CORRECTNESS_r07.json`` frees the window.
 
-All six are compositions of proven idioms (md5 ranks, exact ratios,
+All eight are compositions of proven idioms (md5 ranks, exact ratios,
 block hashes, pack frames, gaps-and-islands windows) — no new
 operator modules, no new scan shapes. 100 TB posture is noted per
 query; the exchange audit / determinism sweep / degenerate sweep
@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
-from .registry import staged_query
+from .registry import REGISTRY, staged_query
+from .text_metrics import quality_frame
 from .training import (
     PACK_BUDGET,
     PACK_SHARDS,
@@ -40,7 +41,7 @@ from ._util import (
     exact_ratio_wide_sql,
 )
 
-# --------------------------------------------------------------- 1/6
+# --------------------------------------------------------------- 1/8
 # Exact substring dedup: longest shared run of consecutive block
 # hashes between two documents. Document-level dedup (exact/MinHash)
 # misses a long passage copied into otherwise-different documents;
@@ -173,13 +174,40 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- 2/6
+# --------------------------------------------------------------- 2/8
 # URL/domain-aware keeper: the web-corpus staple. documents has no
 # url column, so one is SYNTHESIZED deterministically (md5-derived
 # host bucket + doc_id path) — the keeper semantics under test are
 # real; only the url values are a stand-in, exactly like the KV
-# event stream synthesizes client ids.
+# event stream synthesizes client ids. ONE host rule shared by
+# dedup_url_keeper and corpus_domain_cap (helpers below) so the two
+# domain ops can never disagree about what a domain is.
 N_HOSTS = 20
+
+_HOST_SQL = (
+    "'h' || CAST(CAST(('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS UBIGINT) % {N_HOSTS} AS VARCHAR) || '.example.com'"
+)
+
+
+def _host_col() -> F.Column:
+    """Spark twin of _HOST_SQL (md5-derived host bucket)."""
+    return F.concat(
+        F.lit("h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("host:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % N_HOSTS
+        ).cast("string"),
+        F.lit(".example.com"),
+    )
 
 
 @staged_query(
@@ -187,9 +215,7 @@ N_HOSTS = 20
     oracle=rf"""
     WITH u AS (
       SELECT doc_id,
-             'h' || CAST(CAST(('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                             AS UBIGINT) % {N_HOSTS} AS VARCHAR)
-               || '.example.com' AS host,
+             {_HOST_SQL} AS host,
              md5(text) AS content_digest
       FROM documents
     ),
@@ -222,25 +248,9 @@ def dedup_url_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest below it, so the text column never shuffles, the
     text_fingerprint lesson)."""
     d = table(spark, sf_dir, "documents")
-    host = F.concat(
-        F.lit("h"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("host:"), F.col("doc_id").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % N_HOSTS
-        ).cast("string"),
-        F.lit(".example.com"),
-    )
     u = d.select(
         "doc_id",
-        host.alias("host"),
+        _host_col().alias("host"),
         F.md5("text").alias("content_digest"),
     )
     wp = Window.partitionBy("content_digest")
@@ -267,7 +277,7 @@ def dedup_url_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- 3/6
+# --------------------------------------------------------------- 3/8
 # Repetition / compressibility score: repeated word-3-gram mass per
 # document — the standard signal for dropping degenerate generations
 # (looping model output, keyword stuffing). rep_score = repeated-gram
@@ -333,7 +343,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- 4/6
+# --------------------------------------------------------------- 4/8
 # Char-entropy perplexity proxy: integer-exact floor-log2 entropy of
 # the per-document character distribution. True Shannon entropy needs
 # libm log2 (cross-engine last-ulp risk, the ln caveat in SCALE.md);
@@ -400,7 +410,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- 5/6
+# --------------------------------------------------------------- 5/8
 # Per-source reservoir sample: deterministic md5-rank top-K per
 # source — the bounded, reproducible training-subset extraction every
 # pipeline needs for eval carve-outs and spot-audits. A true
@@ -448,7 +458,7 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- 6/6
+# --------------------------------------------------------------- 6/8
 # Packing-efficiency histogram: pure composition over the
 # corpus_pack_sequences frame. Contiguous stream packing fills every
 # interior sequence by construction — the operational questions are
@@ -532,4 +542,159 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_ratio_wide_spark(
             "sum(fill_tokens)", f"count(*) * {PACK_BUDGET}"
         ).alias("fill_rate"),
+    )
+
+
+# --------------------------------------------------------------- 7/8
+# Quality-threshold calibration curve: before committing a corpus to
+# a QUALITY_MIN cutoff (pipeline_clean_corpus drops below 0.40), a
+# pipeline owner needs the kept-docs / kept-tokens curve across
+# candidate thresholds — set the knob by looking at the mass it
+# removes, not by folklore. Same calibration pattern as
+# dedup_threshold_curve, applied to the quality axis.
+QUALITY_THRESHOLDS_PCT = [30, 35, 40, 45, 50, 55, 60]
+
+# One kept-predicate text, shared verbatim by the Spark aggregate
+# exprs and the DuckDB oracle so the comparison can never drift:
+# CAST(int)/100.0 is the identical correctly-rounded double on both
+# engines, and a NULL quality_score (empty doc) falls to ELSE — NULL
+# scores are DROPPED at every threshold by contract.
+_KEPT = "CASE WHEN quality_score >= CAST(threshold_pct AS DOUBLE) / 100.0 THEN {v} ELSE 0 END"
+
+
+@staged_query(
+    "quality_threshold_curve",
+    oracle=rf"""
+    WITH qs AS ("""
+    + REGISTRY["text_quality_score"].oracle
+    + rf"""),
+    x AS (
+      SELECT doc_id, quality_score, n_words,
+             unnest([{", ".join(str(t) for t in QUALITY_THRESHOLDS_PCT)}]) AS threshold_pct
+      FROM qs
+    )
+    SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+           CAST(sum({_KEPT.format(v='1')}) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum({_KEPT.format(v='1')}) AS BIGINT) AS n_dropped,
+           CAST(sum({_KEPT.format(v='n_words')}) AS BIGINT) AS tokens_kept,
+           {exact_ratio_wide_sql(f"sum({_KEPT.format(v='n_words')})",
+                                 "sum(n_words)")} AS token_share_kept
+    FROM x
+    GROUP BY threshold_pct
+    """,
+)
+def quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-documents / kept-tokens curve over candidate quality
+    cutoffs: for each threshold (percent, integer-keyed — float group
+    keys are a cross-engine hazard), how many documents and what
+    word-token mass survive `quality_score >= t`. token_share_kept is
+    kept tokens over ALL corpus tokens (the wide exact ratio — the
+    numerator is a whole-corpus token sum). NULL quality scores
+    (empty documents) are dropped at every threshold by contract.
+
+    Shape (100 TB): ONE corpus scan through the shared quality_frame,
+    a 7-way per-row explode of an integer literal array (bounded
+    fan-out, narrow columns — doc_id, score, n_words), one aggregate
+    keyed on 7 values. On an empty corpus the group-by emits zero
+    rows on both engines (the explode-before-aggregate shape, chosen
+    over global-agg-feeds-stack precisely for the r06
+    vocab_coverage_topk empty-contract lesson)."""
+    qf = quality_frame(table(spark, sf_dir, "documents"))
+    x = qf.select(
+        "doc_id",
+        "quality_score",
+        "n_words",
+        F.explode(
+            F.array(*[F.lit(t) for t in QUALITY_THRESHOLDS_PCT])
+        ).alias("threshold_pct"),
+    )
+    kept_docs = F.expr(f"sum({_KEPT.format(v='1')})")
+    kept_tokens_sql = f"sum({_KEPT.format(v='n_words')})"
+    return x.groupBy(F.col("threshold_pct").cast("long").alias("threshold_pct")).agg(
+        kept_docs.cast("long").alias("n_kept"),
+        (F.count("*") - kept_docs).cast("long").alias("n_dropped"),
+        F.expr(kept_tokens_sql).cast("long").alias("tokens_kept"),
+        exact_ratio_wide_spark(kept_tokens_sql, "sum(n_words)").alias(
+            "token_share_kept"
+        ),
+    )
+
+
+# --------------------------------------------------------------- 8/8
+# Per-domain token cap: the CommonCrawl-style guard against any one
+# domain dominating the blend — each host contributes documents (in
+# deterministic md5 priority order) only until its cumulative token
+# budget is reached; the rest are dropped. The md5 order makes the
+# kept subset a uniform sample of the host's documents, reproducible
+# run-over-run, exactly like corpus_sample_temperature's seeded
+# threshold.
+DOMAIN_CAP_TOKENS = 500
+
+
+@staged_query(
+    "corpus_domain_cap",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_HOST_SQL} AS host,
+             CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, host, n_tokens,
+             -- CAST: DuckDB sum() yields HUGEINT, which pandas turns
+             -- into float ("125.0" vs Spark's "125" after the
+             -- compare's stringify)
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY host
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, host, n_tokens, cum_tokens,
+           CAST(CASE WHEN cum_tokens - n_tokens < {DOMAIN_CAP_TOKENS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM c
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap verdicts: within each (synthesized) host, documents
+    are admitted in md5-priority order while the host's cumulative
+    token count stays under DOMAIN_CAP_TOKENS — a document is kept iff
+    it STARTS below the cap (cum − own < cap), so every host keeps at
+    least one document and the kept mass overshoots by at most one
+    document (the standard greedy cap rule; a strict cap would need
+    doc splitting). Shares the host definition with dedup_url_keeper
+    via _HOST_SQL/_host_col — one domain rule, two ops.
+
+    Shape (100 TB): one host-keyed window cumsum (the pack-frame
+    idiom; the exchange carries doc_id/host/ints — text never
+    shuffles because the token count projects below the window).
+    Hosts are naturally bounded in size; a pathological mega-host is
+    still one partition of (id, int) rows, and the md5 order key
+    means no sort skew beyond that host's row count."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _host_col().alias("host"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(
+            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "host",
+        "n_tokens",
+        "cum_tokens",
+        F.when(
+            F.col("cum_tokens") - F.col("n_tokens") < DOMAIN_CAP_TOKENS, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
     )

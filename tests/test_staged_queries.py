@@ -325,3 +325,56 @@ def test_packing_efficiency_reconciles_with_pack_frame(spark):
     for r in hist:
         assert 0 < r.fill_rate <= 1.0
         assert r.n_docs_in_seq >= 1
+
+
+def test_quality_curve_monotone_and_reconciled(spark):
+    """Raising the threshold can only shrink the kept set; every doc
+    is either kept or dropped at each threshold; shares are valid."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        QUALITY_THRESHOLDS_PCT,
+        quality_threshold_curve,
+    )
+
+    n_docs = table(spark, SF_SMOKE, "documents").count()
+    rows = {r.threshold_pct: r
+            for r in quality_threshold_curve(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == sorted(QUALITY_THRESHOLDS_PCT)
+    prev_kept, prev_tok = None, None
+    for t in sorted(rows):
+        r = rows[t]
+        assert r.n_kept + r.n_dropped == n_docs
+        assert 0 <= r.token_share_kept <= 1.0
+        if prev_kept is not None:
+            assert r.n_kept <= prev_kept
+            assert r.tokens_kept <= prev_tok
+        prev_kept, prev_tok = r.n_kept, r.tokens_kept
+    # The fixture spans the curve: the lowest threshold keeps more
+    # than the highest (otherwise the calibration test is vacuous).
+    lo, hi = min(rows), max(rows)
+    assert rows[lo].n_kept > rows[hi].n_kept
+
+
+def test_domain_cap_matches_python_replay(spark):
+    """Exact greedy-cap replay: per host, admit docs in
+    (md5('cap:'||id), id) order while cum-before < CAP."""
+    import hashlib
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        DOMAIN_CAP_TOKENS,
+        corpus_domain_cap,
+    )
+
+    rows = corpus_domain_cap(spark, SF_SMOKE).collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host) > 1
+    for host, grp in by_host.items():
+        grp.sort(key=lambda r: (
+            hashlib.md5(f"cap:{r.doc_id}".encode()).hexdigest(), r.doc_id))
+        cum = 0
+        for r in grp:
+            assert r.cum_tokens == cum + r.n_tokens, (host, r)
+            assert r.keep == (1 if cum < DOMAIN_CAP_TOKENS else 0), (host, r)
+            cum += r.n_tokens
+        assert sum(r.keep for r in grp) >= 1  # every host keeps >=1
