@@ -69,6 +69,14 @@ QUERIES = [
     "tokenizer_bpe_merges",
     "events_sessionization",
     "multimodal_feature_extract",
+    # Round-7 staged flagship: the banded block-hash join + islands
+    # window is the only genuinely new scale shape in queries/staged.py
+    # (the other seven are per-row projections / single windows /
+    # bounded explodes). Resolved from {**REGISTRY, **STAGED}. The
+    # 10-clique replication makes every base doc's blocks collide
+    # across all 10 copies on full diagonals — a harder candidate
+    # density than natural growth, same caveat as the dedup family.
+    "dedup_substring_runs",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
@@ -172,9 +180,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
 
+    audited = {**REGISTRY, **STAGED}
     spark = get_spark(
         app_name="scale-smoke",
         extra_conf={
@@ -197,7 +206,7 @@ def main() -> None:
         return df.count()
 
     # Warm JVM/codegen the same way bench.py does.
-    force(REGISTRY["tpch_q1_pricing_summary"].fn(spark, str(SRC)))
+    force(audited["tpch_q1_pricing_summary"].fn(spark, str(SRC)))
 
     # Python worker pool warm, re-issued per query below (rationale +
     # measurements in session.warm_python_worker_pool): the factory
@@ -216,7 +225,7 @@ def main() -> None:
             warm_python_worker_pool(spark)
             r0, w0 = _shuffle_totals(spark)
             t0 = time.perf_counter()
-            rows = force(REGISTRY[name].fn(spark, sf_dir))
+            rows = force(audited[name].fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             r1, w1 = _shuffle_totals(spark)
             results.setdefault(name, {})[sf_name] = {
@@ -239,10 +248,16 @@ def main() -> None:
         print(f"| {name} | {a['sec']} | {b['sec']} | {tx:.1f} |"
               f" {a['shuffle_write_mb']} | {b['shuffle_write_mb']} |"
               f" {wx:.1f} | {b['rows']} |")
-    (REPO / "SCALE_SMOKE_r06.json").write_text(
-        json.dumps(results, indent=1, sort_keys=True) + "\n"
-    )
-    print(f"\nwritten: {REPO / 'SCALE_SMOKE_r06.json'}")
+    # Round-derived name (was hardcoded r06 — a re-run next round
+    # would have clobbered the committed artifact, the same mistake
+    # class as the r06 BENCH_FULL overwrite). Same single source of
+    # round truth as bench.py: the driver contract's CORRECTNESS scan.
+    import __spark_entry__ as _entry
+
+    rno = max(_entry._last_checked_round().values(), default=0) + 1
+    out = REPO / f"SCALE_SMOKE_r{rno:02d}.json"
+    out.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
+    print(f"\nwritten: {out}")
     spark.stop()
 
 
