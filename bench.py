@@ -155,20 +155,33 @@ def main() -> None:
 
     # Contention canary (judge r06): a fixed JVM-only workload — no
     # I/O, no Python workers, no shuffle — timed at suite start,
-    # middle, and end. On an idle machine the three readings agree
-    # within ~1.2×; the driver's r06 run carried 5–14× per-query
+    # middle, and end. The driver's r06 run carried 5–14× per-query
     # outliers that only a manual cold re-measure could adjudicate as
-    # sandbox contention. A canary spread (max/min) above ~1.5 marks
-    # the whole run contended, so the artifact self-identifies.
-    def _canary() -> float:
+    # sandbox contention; the canary makes the artifact
+    # self-identifying. Calibration (round 7, idle machine): a single
+    # reading swings 0.11–0.60 s from C2 JIT tier-up (first ~4 runs
+    # descend monotonically) and GC pauses, so each checkpoint is the
+    # MIN OF 3 runs after 5 untimed warm-ups — steady-state mins then
+    # agree within ~1.3×. spread (max/min of the three mins) above
+    # ~1.5 means sustained external CPU contention (min-of-3 sheds
+    # GC/scheduler one-offs but cannot hide busy cores), and the raw
+    # triples are recorded for forensics.
+    def _canary_once() -> float:
         t0 = time.perf_counter()
-        spark.range(0, 50_000_000, 1, 32).select(
+        spark.range(0, 400_000_000, 1, 32).select(
             F.xxhash64("id").alias("_h")
         ).agg(F.bit_xor("_h")).collect()
         return round(time.perf_counter() - t0, 3)
 
-    _canary()  # untimed: compile the canary's codegen once
-    canary: dict[str, float] = {"start": _canary()}
+    for _ in range(5):  # untimed: codegen compile + C2 tier-up
+        _canary_once()
+    canary_raw: dict[str, list[float]] = {}
+
+    def _canary(point: str) -> float:
+        canary_raw[point] = [_canary_once() for _ in range(3)]
+        return min(canary_raw[point])
+
+    canary: dict = {"start": _canary("start")}
 
     def _time_queries(names) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -204,12 +217,24 @@ def main() -> None:
     # — unless SPARK_GRAFT_BENCH_MODE=headline — the rest of the
     # registry, so every registered query has a timing on record.
     timings = _time_queries(HEADLINE)
-    canary["mid"] = _canary()
+    canary["mid"] = _canary("mid")
     full: dict[str, float] = dict(timings)
     if os.environ.get("SPARK_GRAFT_BENCH_MODE", "full") != "headline":
         full.update(_time_queries([n for n in REGISTRY if n not in timings]))
-    canary["end"] = _canary()
-    canary["spread"] = round(max(canary.values()) / max(min(canary.values()), 1e-9), 3)
+    canary["end"] = _canary("end")
+    mins = [canary["start"], canary["mid"], canary["end"]]
+    canary["spread"] = round(max(mins) / max(min(mins), 1e-9), 3)
+    # Direction matters (round-7 calibration): JIT tier-up makes LATER
+    # canaries faster (spread > 1 with end < start = healthy), while
+    # contention arriving during the run makes them SLOWER. slowdown
+    # is the contention-signed ratio; > ~1.5 = load arrived mid-run.
+    # Uniform whole-run contention shows instead as all three mins
+    # elevated vs the committed history of this machine class (~0.1-
+    # 0.2 s steady-state) — compare absolute levels round-over-round.
+    canary["slowdown"] = round(
+        max(canary["mid"], canary["end"]) / max(canary["start"], 1e-9), 3
+    )
+    canary["raw"] = canary_raw
 
     total = round(sum(timings.values()), 3)
     # Persist the COMPLETE per-query dict to a committed file: the
