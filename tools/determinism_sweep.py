@@ -36,11 +36,13 @@ SF = "/root/testdata/sf0.01"
 
 _BCAST = "spark.sql.autoBroadcastJoinThreshold"
 _CODEGEN = "spark.sql.codegen.wholeStage"
+_ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
 BASELINE = {
     "spark.sql.shuffle.partitions": "8",
     "spark.sql.adaptive.enabled": "true",
     _BCAST: "10485760",
     _CODEGEN: "true",
+    _ARROW: "10000",
 }
 PERTURBED = [
     {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "true",
@@ -56,6 +58,14 @@ PERTURBED = [
     # whole-stage-generated — the evaluation-path differential
     {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "true",
      _BCAST: "10485760", _CODEGEN: "false"},
+    # Arrow batch size 3 (round 7, 5th axis): every mapInPandas /
+    # applyInPandas stage sees its input chopped into tiny batches —
+    # a UDF whose output depends on batch SHAPE (per-batch
+    # aggregation, cross-row state inside a batch, first-row
+    # assumptions) diverges here. The multimodal decodes and the
+    # streaming-shared frames are per-ROW by contract; this proves it.
+    {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "true",
+     _BCAST: "10485760", _CODEGEN: "true", _ARROW: "3"},
 ]
 
 
@@ -84,7 +94,10 @@ def main() -> int:
     )
 
     def run_all(conf: dict) -> dict:
-        for k, v in conf.items():
+        # Apply the FULL baseline first, then the overrides — a
+        # perturbed dict that omits a knob (e.g. the Arrow batch size)
+        # must not inherit it from whichever config ran last.
+        for k, v in {**BASELINE, **conf}.items():
             spark.conf.set(k, v)
         out = {}
         for name, entry in audited.items():
@@ -104,7 +117,8 @@ def main() -> int:
         label = (
             f"parts={conf['spark.sql.shuffle.partitions']},"
             f"aqe={conf['spark.sql.adaptive.enabled']},"
-            f"bcast={conf[_BCAST]},codegen={conf[_CODEGEN]}"
+            f"bcast={conf[_BCAST]},codegen={conf[_CODEGEN]},"
+            f"arrow={conf.get(_ARROW, BASELINE[_ARROW])}"
         )
         print(f"--- running config {label}", flush=True)
         got = run_all(conf)
