@@ -70,14 +70,18 @@ def assets_from_documents(docs: DataFrame, strict: bool = True) -> DataFrame:
     fast on the first such row; ``strict=False`` drops non-ASCII
     rows instead — the documented opt-out for callers feeding
     real-world accented text who want the pipeline to proceed on the
-    representable subset. (Real binary payloads come from real binary
-    columns and never pass through this text stand-in.)"""
+    representable subset. NULL text takes the same path (the
+    ascii_ok predicate is NULL, so strict raises and non-strict
+    drops): a NULL payload cannot be an asset, and the round-7 nulls
+    sweep pinned the loud behavior — the error names both causes.
+    (Real binary payloads come from real binary columns and never
+    pass through this text stand-in.)"""
     ascii_ok = F.octet_length(F.col("text")) == F.length(F.col("text"))
     if strict:
         content = F.when(ascii_ok, F.encode(F.col("text"), "UTF-8")).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("assets_from_documents: non-ASCII text in doc_id="),
+                    F.lit("assets_from_documents: non-ASCII or NULL text in doc_id="),
                     F.col("doc_id").cast("string"),
                     F.lit(
                         "; char-based oracles require single-byte payload "

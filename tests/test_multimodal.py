@@ -243,7 +243,7 @@ def test_non_ascii_document_fails_fast(spark):
     docs = spark.createDataFrame(
         [(1, "plain ascii"), (2, "café non-ascii")], "doc_id long, text string"
     )
-    with pytest.raises(Exception, match="non-ASCII text in doc_id=2"):
+    with pytest.raises(Exception, match="non-ASCII or NULL text in doc_id=2"):
         assets_from_documents(docs).collect()
 
 

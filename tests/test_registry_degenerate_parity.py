@@ -363,3 +363,38 @@ def test_sweep_clique(spark, degen_clique, qname):
         e.fn(spark, degen_clique).count()
     else:
         compare_query(spark, e.fn, e.oracle, degen_clique, qname)
+
+
+def test_null_sort_order_engine_divergence_pinned(spark):
+    """Root cause behind the round-7 nulls-fixture pin class (b):
+    Spark ASC sorts NULLs FIRST, DuckDB ASC sorts NULLs LAST — any
+    rank/ntile/limit keyed on a nullable expression without an
+    explicit NULLS clause diverges cross-engine while being
+    internally consistent on each engine. Pinned so an engine
+    version change that silently aligns (or further splits) the
+    defaults is noticed — the r08 fix plan (explicit NULLS FIRST on
+    every nullable sort key) depends on this fact."""
+    import duckdb
+
+    svals = [
+        r.v
+        for r in spark.createDataFrame([(1,), (None,), (2,)], "v int")
+        .orderBy("v")
+        .collect()
+    ]
+    assert svals == [None, 1, 2], "Spark ASC should be NULLS FIRST"
+    ovals = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT v FROM (VALUES (1), (NULL), (2)) t(v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert ovals == [1, 2, None], "DuckDB ASC should be NULLS LAST"
+    # And the documented remedy really does align them:
+    svals_f = [
+        r.v
+        for r in spark.createDataFrame([(1,), (None,), (2,)], "v int")
+        .orderBy(F.col("v").asc_nulls_last())
+        .collect()
+    ]
+    assert svals_f == ovals

@@ -70,7 +70,7 @@ def test_staged_oracle_parity_correct_sf(spark, name):
 
 @pytest.fixture(
     scope="module",
-    params=["empty", "minimal", "unicode", "timewarp", "clique"],
+    params=["empty", "minimal", "nulls", "unicode", "timewarp", "clique"],
 )
 def degen_dir(request, tmp_path_factory):
     return write_fixture(

@@ -379,8 +379,99 @@ CLIQUE_ROWS: dict[str, dict[str, list]] = {
     },
 }
 
+
+# ``nulls`` fixture (round 7): true SQL NULLs in every nullable
+# column — a class ``minimal`` (empty strings / zeros) never touches.
+# Production parquet always eventually carries them (outer-join
+# results, schema evolution, bad upstream writers). Probes: NULL
+# propagation through regexp/HOF/md5 paths (both engines must agree
+# NULL in -> NULL out, or drop identically), NULL group keys (both
+# engines emit one NULL group), NULL join keys (equi-joins drop them
+# identically), arithmetic over NULL money, NULL timestamps through
+# the bucketing paths, NULL embedding lists AND a NULL element INSIDE
+# a list, and — the headline ordering hazard — any window/sort keyed
+# on a nullable expression (Spark ASC = NULLS FIRST, DuckDB ASC
+# default = NULLS LAST; a divergence here means a query sorts on a
+# nullable key without an explicit NULLS clause).
+NULLS_ROWS: dict[str, dict[str, list]] = {
+    "region": {"r_regionkey": [0, 1], "r_name": ["ASIA", None]},
+    "nation": {
+        "n_nationkey": [0, 1],
+        "n_name": ["JAPAN", None],
+        "n_regionkey": [0, None],
+    },
+    "customer": {
+        "c_custkey": [1, 2],
+        "c_name": ["cust one", None],
+        "c_nationkey": [0, None],
+        "c_acctbal": [10.0, None],
+        "c_mktsegment": ["BUILDING", None],
+    },
+    "supplier": {
+        "s_suppkey": [1, 2],
+        "s_name": ["sup one", None],
+        "s_nationkey": [0, None],
+        "s_acctbal": [5.0, None],
+    },
+    "part": {
+        "p_partkey": [1, 2],
+        "p_name": ["green steel bolt", None],
+        "p_brand": ["Brand#1", None],
+        "p_type": ["PROMO ANODIZED", None],
+        "p_size": [1, None],
+        "p_retailprice": [10.0, None],
+    },
+    "orders": {
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, None, 2],
+        "o_orderstatus": ["O", None, "F"],
+        "o_totalprice": [10.0, None, 20.0],
+        "o_orderdate": [TS0, None, TS1],
+        "o_orderpriority": ["1-URGENT", None, "5-LOW"],
+    },
+    "lineitem": {
+        "l_orderkey": [1, 2, 3],
+        "l_partkey": [1, None, 2],
+        "l_suppkey": [1, None, 2],
+        "l_linenumber": [1, 1, 2],
+        "l_quantity": [1.0, None, 2.0],
+        "l_extendedprice": [10.0, None, 5.0],
+        "l_discount": [0.1, None, 0.0],
+        "l_tax": [0.0, None, 0.1],
+        "l_returnflag": ["R", None, "N"],
+        "l_linestatus": ["O", None, "F"],
+        "l_shipdate": [TS0, None, TS1],
+    },
+    "events": {
+        "event_id": [1, 2, 3, 4],
+        "ts": [TS0, None, TS0, TS1],
+        "user_id": [1, None, 2, 1],
+        "event_type": ["purchase", None, "click", "error"],
+        "value": [100.0, None, 2.0, None],
+        "props": ['{"plan": 1}', None, "{}", '{"k": "v"}'],
+    },
+    "documents": {
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma delta", None, "", "spam ham spam ham spam ham"],
+        "lang": ["en", None, "en", None],
+        "source": ["src0", None, None, "src1"],
+        "n_chars": [22, None, 0, 26],
+    },
+    "embeddings": {
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [
+            [1.0] * 64,
+            None,
+            [None] + [0.5] * 63,
+            [-1.0] * 64,
+        ],
+        "label": [0, None, 1, 0],
+    },
+}
+
 _ROWS_BY_KIND = {
     "minimal": MINIMAL_ROWS,
+    "nulls": NULLS_ROWS,
     "unicode": UNICODE_ROWS,
     "timewarp": TIMEWARP_ROWS,
     "clique": CLIQUE_ROWS,
@@ -397,6 +488,54 @@ _ROWS_BY_KIND = {
 ALLOWLIST: dict[str, set[str]] = {
     "empty": {"sales_rollup", "docs_cube_stats"},
     "minimal": set(),
+    # nulls pins (round 7): 16 divergences found by the new fixture,
+    # ALL driver-invisible (the sf0.01 gate fixture carries no NULLs)
+    # and all PINNED rather than fixed THIS round because every fix
+    # touches a registered query's oracle text — 16 def-hash changes
+    # would scramble the fully-determined r07 seat window (verdict r06
+    # task 5). Fix plan lands with the r08 promotions; root-cause
+    # classes (full writeup in SCALE.md §Null-input contract):
+    #  (a) NULL JOIN KEYS silently drop rows: digest/groupBy-join-back
+    #      plans lose NULL-keyed rows where the oracle's window keeps
+    #      them (dedup_exact_keep, corpus_semantic_mixture,
+    #      events_session_sequences, text_fingerprint) — r08 fix:
+    #      null-safe key coalesce or explicit pre-filter, SAME rule in
+    #      both engines.
+    #  (b) SORT-ORDER on nullable keys: Spark ASC = NULLS FIRST,
+    #      DuckDB ASC = NULLS LAST (customer_rfm_segments ntile,
+    #      similarity_topk_batch rank, embedding_cluster_sample,
+    #      sketch_histogram_quantiles) — r08 fix: explicit NULLS
+    #      FIRST/LAST on every nullable sort key, or pre-filter.
+    #  (c) NULL embeddings / NULL list ELEMENTS: the quantize frame
+    #      propagates NULLs where oracles keep/drop differently
+    #      (dedup_embedding_cosine, similarity_lsh_near_pairs,
+    #      similarity_ivf_assign, embedding_kmeans_centroids,
+    #      embedding_norm_stats, embedding_quantize_int8) — r08 fix:
+    #      ONE shared drop rule (embedding IS NULL OR exists(x ->
+    #      x IS NULL) excluded, loudly countable) in
+    #      embeddings_quantized + the same WHERE in every oracle.
+    #  (d) STRICT GUARD conflation: the multimodal text stand-in's
+    #      ascii_ok predicate is NULL on NULL text, so strict mode
+    #      raises (message now names both causes) — loud-by-design,
+    #      same class as the unicode pins.
+    "nulls": {
+        "customer_rfm_segments",
+        "events_session_sequences",
+        "dedup_exact_keep",
+        "dedup_embedding_cosine",
+        "similarity_lsh_near_pairs",
+        "similarity_topk_batch",
+        "similarity_ivf_assign",
+        "embedding_kmeans_centroids",
+        "embedding_norm_stats",
+        "embedding_cluster_sample",
+        "corpus_semantic_mixture",
+        "text_fingerprint",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "sketch_histogram_quantiles",
+        "embedding_quantize_int8",
+    },
     "unicode": {"multimodal_resize", "multimodal_frame_sample"},
     "timewarp": set(),
     "clique": set(),
@@ -421,7 +560,8 @@ def write_fixture(out_dir: str, kind: str) -> str:
                 if pa.types.is_timestamp(f.type):
                     import datetime
 
-                    vals = [datetime.datetime.fromisoformat(v) for v in vals]
+                    vals = [None if v is None else
+                            datetime.datetime.fromisoformat(v) for v in vals]
                 arrays.append(pa.array(vals, type=f.type))
             tbl = pa.Table.from_arrays(arrays, schema=schema)
         pq.write_table(tbl, f"{out_dir}/{t}.parquet")
@@ -444,7 +584,14 @@ def sweep(fixtures: list[str]) -> int:
     # the divergence silently disappearing — is reported (review
     # finding: skipping pinned pairs outright would hide a pin
     # degrading into a crash).
-    pin_expect = {"empty": ("MISMATCH",), "unicode": ("non-ASCII",)}
+    pin_expect = {
+        "empty": ("MISMATCH",),
+        "unicode": ("non-ASCII",),
+        # nulls pins are value/row-count mismatches except the two
+        # multimodal strict-guard crashes (which raise the
+        # "non-ASCII or NULL" message).
+        "nulls": ("MISMATCH", "non-ASCII"),
+    }
     for kind in fixtures:
         sf = write_fixture(f"scale_data/degen_{kind}", kind)
         for name, entry in audited.items():
@@ -491,8 +638,8 @@ def sweep(fixtures: list[str]) -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="all",
-                    choices=["empty", "minimal", "unicode", "timewarp", "clique", "all"])
+                    choices=["empty", "minimal", "nulls", "unicode", "timewarp", "clique", "all"])
     a = ap.parse_args()
-    fixtures = (["empty", "minimal", "unicode", "timewarp", "clique"]
+    fixtures = (["empty", "minimal", "nulls", "unicode", "timewarp", "clique"]
                 if a.fixture == "all" else [a.fixture])
     sys.exit(0 if sweep(fixtures) == 0 else 1)
