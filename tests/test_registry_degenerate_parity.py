@@ -325,6 +325,28 @@ def test_sweep_unicode(spark, degen_unicode, qname):
 
 
 @pytest.fixture(scope="session")
+def degen_nulls(tmp_path_factory):
+    return write_fixture(str(tmp_path_factory.mktemp("degen") / "nulls"), "nulls")
+
+
+@pytest.mark.skipif(not _SWEEP, reason="full degenerate sweep: set SPARK_GRAFT_SWEEP=1")
+@pytest.mark.parametrize("qname", sorted(REGISTRY))
+def test_sweep_nulls(spark, degen_nulls, qname):
+    """True SQL NULLs in every nullable column (round 7): NULL
+    propagation through regexp/HOF/md5 paths, NULL group and join
+    keys, NULL money/timestamps, NULL embedding lists and elements.
+    The 16 pinned divergences are the r08 fix backlog (SCALE.md
+    §Null-input contract); everything else must hash-match."""
+    if qname in ALLOWLIST["nulls"]:
+        pytest.skip("pinned nulls divergence - r08 fix backlog (see ALLOWLIST)")
+    e = REGISTRY[qname]
+    if e.oracle is None:
+        e.fn(spark, degen_nulls).count()
+    else:
+        compare_query(spark, e.fn, e.oracle, degen_nulls, qname)
+
+
+@pytest.fixture(scope="session")
 def degen_timewarp(tmp_path_factory):
     return write_fixture(str(tmp_path_factory.mktemp("degen") / "timewarp"), "timewarp")
 
