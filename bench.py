@@ -161,11 +161,18 @@ def main() -> None:
     # self-identifying. Calibration (round 7, idle machine): a single
     # reading swings 0.11–0.60 s from C2 JIT tier-up (first ~4 runs
     # descend monotonically) and GC pauses, so each checkpoint is the
-    # MIN OF 3 runs after 5 untimed warm-ups — steady-state mins then
-    # agree within ~1.3×. spread (max/min of the three mins) above
-    # ~1.5 means sustained external CPU contention (min-of-3 sheds
-    # GC/scheduler one-offs but cannot hide busy cores), and the raw
-    # triples are recorded for forensics.
+    # MIN OF 3 runs after 5 untimed warm-ups. Even then JIT keeps
+    # tiering through the suite (the committed clean r07 run reads
+    # start 0.203 / mid 0.150 / end 0.120 — raw spread 1.69 with the
+    # LATER readings faster), so the contention rule is the SIGNED
+    # ratio below: slowdown = max(mid, end) / start. slowdown > ~1.5
+    # = load arrived during the run (min-of-3 sheds GC/scheduler
+    # one-offs but cannot hide busy cores); slowdown ≤ 1 = healthy
+    # JIT drift. spread is recorded as raw dispersion only — it
+    # CANNOT distinguish drift from contention. Uniform whole-run
+    # contention shows as all three mins elevated vs the committed
+    # history of this machine class (~0.1–0.2 s steady state). Raw
+    # triples recorded for forensics.
     def _canary_once() -> float:
         t0 = time.perf_counter()
         spark.range(0, 400_000_000, 1, 32).select(
@@ -224,13 +231,7 @@ def main() -> None:
     canary["end"] = _canary("end")
     mins = [canary["start"], canary["mid"], canary["end"]]
     canary["spread"] = round(max(mins) / max(min(mins), 1e-9), 3)
-    # Direction matters (round-7 calibration): JIT tier-up makes LATER
-    # canaries faster (spread > 1 with end < start = healthy), while
-    # contention arriving during the run makes them SLOWER. slowdown
-    # is the contention-signed ratio; > ~1.5 = load arrived mid-run.
-    # Uniform whole-run contention shows instead as all three mins
-    # elevated vs the committed history of this machine class (~0.1-
-    # 0.2 s steady-state) — compare absolute levels round-over-round.
+    # The contention rule (see the calibration comment above):
     canary["slowdown"] = round(
         max(canary["mid"], canary["end"]) / max(canary["start"], 1e-9), 3
     )
@@ -250,7 +251,7 @@ def main() -> None:
         import __spark_entry__ as _entry
 
         repo = pathlib.Path(__file__).resolve().parent
-        rno = max(_entry._last_checked_round().values(), default=0) + 1
+        rno = _entry._next_round()
         write_full_record(
             repo / f"BENCH_FULL_r{rno:02d}.json",
             sf,

@@ -1,5 +1,5 @@
 """Registry-wide degenerate-input sweep: run EVERY registered query
-(Spark + DuckDB oracle, same compare as the driver) against five
+(Spark + DuckDB oracle, same compare as the driver) against six
 adversarial fixtures that production always eventually serves:
 
 - ``empty``   — every table present with the exact production schema
@@ -8,6 +8,10 @@ adversarial fixtures that production always eventually serves:
 - ``minimal`` — one-to-two rows per table with degenerate values:
                 empty strings, zero money/quantities, a zero-norm
                 embedding pair on one label, an empty-text document;
+- ``nulls``   — true SQL NULLs in every nullable column (NULL
+                text/keys/money/timestamps, NULL embedding lists and
+                elements), the class ``minimal``'s empty strings
+                never touch;
 - ``unicode`` — multibyte text everywhere (CJK, combining accents,
                 emoji, RTL Arabic) probing byte-vs-char divergences
                 of the levenshtein class through the tokenizer /
@@ -28,11 +32,15 @@ this script is the triage tool that reports ALL outcomes instead of
 failing fast.
 
 Exit status: 0 iff every non-pinned (query, fixture) run is OK —
-the four documented pinned divergences are allowlisted (ALLOWLIST,
-imported by the test module so tool and tests cannot disagree).
+the documented pinned divergences (2 empty + 2 unicode + 16 nulls,
+each with a written rationale and, for nulls, an r08 fix plan) are
+allowlisted (ALLOWLIST, imported by the test module so tool and
+tests cannot disagree), and a pin whose failure MODE changes is
+still reported (per-query expected markers, not a per-fixture
+union).
 
 Usage: python tools/degenerate_sweep.py
-           [--fixture empty|minimal|unicode|timewarp|clique|all]
+           [--fixture empty|minimal|nulls|unicode|timewarp|clique|all]
 """
 
 from __future__ import annotations
@@ -584,14 +592,19 @@ def sweep(fixtures: list[str]) -> int:
     # the divergence silently disappearing — is reported (review
     # finding: skipping pinned pairs outright would hide a pin
     # degrading into a crash).
-    pin_expect = {
-        "empty": ("MISMATCH",),
-        "unicode": ("non-ASCII",),
-        # nulls pins are value/row-count mismatches except the two
-        # multimodal strict-guard crashes (which raise the
-        # "non-ASCII or NULL" message).
-        "nulls": ("MISMATCH", "non-ASCII"),
-    }
+    # PER-QUERY expected failure modes (review r07: a per-fixture
+    # UNION of markers would let a pin silently change mode — e.g. a
+    # designed loud-guard crash degrading into a value mismatch would
+    # still match the union and pass; the comment above promises that
+    # degradation is reported). The multimodal pins must CRASH with
+    # the strict-guard message; every other pin must be a compare
+    # MISMATCH — any other outcome from a pinned pair is reported.
+    _LOUD_PINS = {"multimodal_frame_sample", "multimodal_resize"}
+
+    def pin_markers(kind: str, name: str) -> tuple[str, ...]:
+        if kind == "unicode" or (kind == "nulls" and name in _LOUD_PINS):
+            return ("non-ASCII",)
+        return ("MISMATCH",)
     for kind in fixtures:
         sf = write_fixture(f"scale_data/degen_{kind}", kind)
         for name, entry in audited.items():
@@ -618,9 +631,10 @@ def sweep(fixtures: list[str]) -> int:
                     else "ERR"
                 )
                 msg = head.replace("\n", " ")
+                expected = pin_markers(kind, name)
                 if pinned and (
-                    outcome in pin_expect.get(kind, ())
-                    or any(sig in msg for sig in pin_expect.get(kind, ()))
+                    outcome in expected
+                    or any(sig in msg for sig in expected)
                 ):
                     outcome, msg = "OK-pinned-divergence", ""
             results.append((name, kind, outcome, msg))

@@ -254,7 +254,7 @@ def main() -> None:
     # round truth as bench.py: the driver contract's CORRECTNESS scan.
     import __spark_entry__ as _entry
 
-    rno = max(_entry._last_checked_round().values(), default=0) + 1
+    rno = _entry._next_round()
     out = REPO / f"SCALE_SMOKE_r{rno:02d}.json"
     out.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
     print(f"\nwritten: {out}")
