@@ -1,21 +1,20 @@
-r"""Round-8 registry candidates, STAGED (implemented + oracle-tested,
-not yet driver-visible).
+r"""Round-8 additions, staged in r07 and PROMOTED in r08.
 
-Seat discipline: the r07 correctness window is exactly the r03/r04
-staleness cohort + the overflow-changed rows + the KV pins — any new
-registration would push a stale row past the ≤2-round freshness
-target (round-6 verdict task 5). So these eight queries carry the full
-@query contract — Spark fn + DuckDB oracle, same compare battery in
-``tests/test_staged_queries.py`` — but land in ``registry.STAGED``;
-promotion in r08 is a one-word decorator flip (``staged_query`` →
-``query``) per entry once ``CORRECTNESS_r07.json`` frees the window.
+These eight queries were built under the r07 seat discipline: full
+@query contract (Spark fn + DuckDB oracle + the battery in
+``tests/test_staged_queries.py``) but registered into
+``registry.STAGED`` so the fully-determined r07 correctness window
+stayed intact. ``CORRECTNESS_r07.json`` landed 50/50 green, freeing
+the window, so r08 flipped the decorators to ``@query`` — they now
+seat first as never-checked rows, exactly as planned.
 
 All eight are compositions of proven idioms (md5 ranks, exact ratios,
 block hashes, pack frames, gaps-and-islands windows) — no new
 operator modules, no new scan shapes. 100 TB posture is noted per
 query; the exchange audit / determinism sweep / degenerate sweep
-already iterate ``{**REGISTRY, **STAGED}``, so these plans are
-audited every round BEFORE promotion, not after.
+iterated these plans every round BEFORE promotion (they sweep
+``{**REGISTRY, **STAGED}``), including the six degenerate fixtures
+with the nulls lane UNpinned.
 """
 
 from __future__ import annotations
@@ -24,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import table
-from .registry import REGISTRY, staged_query
+from .registry import REGISTRY, query
 from .text_metrics import quality_frame
 from .training import (
     PACK_BUDGET,
@@ -61,7 +60,7 @@ from ._util import (
 SUBSTR_DF_CAP = 50
 
 
-@staged_query(
+@query(
     "dedup_substring_runs",
     oracle=rf"""
     WITH toks AS (
@@ -210,7 +209,7 @@ def _host_col() -> F.Column:
     )
 
 
-@staged_query(
+@query(
     "dedup_url_keeper",
     oracle=rf"""
     WITH u AS (
@@ -286,7 +285,7 @@ def dedup_url_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 REP_GRAM = 3
 
 
-@staged_query(
+@query(
     "text_repetition_score",
     oracle=rf"""
     WITH toks AS (
@@ -353,7 +352,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality-filter threshold needs.
 
 
-@staged_query(
+@query(
     "text_char_entropy",
     oracle=rf"""
     WITH chars AS (
@@ -420,7 +419,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESERVOIR_K = 16
 
 
-@staged_query(
+@query(
     "corpus_reservoir_sample",
     oracle=rf"""
     WITH r AS (
@@ -467,7 +466,7 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strands. Histogram rows are keyed by documents-touching-sequence.
 
 
-@staged_query(
+@query(
     "corpus_packing_efficiency",
     oracle=rf"""
     WITH t AS (
@@ -562,7 +561,7 @@ QUALITY_THRESHOLDS_PCT = [30, 35, 40, 45, 50, 55, 60]
 _KEPT = "CASE WHEN quality_score >= CAST(threshold_pct AS DOUBLE) / 100.0 THEN {v} ELSE 0 END"
 
 
-@staged_query(
+@query(
     "quality_threshold_curve",
     oracle=rf"""
     WITH qs AS ("""
@@ -631,7 +630,7 @@ def quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_CAP_TOKENS = 500
 
 
-@staged_query(
+@query(
     "corpus_domain_cap",
     oracle=rf"""
     WITH t AS (

@@ -1,10 +1,10 @@
-"""Battery for the STAGED r08 registry candidates
-(queries/staged.py): full oracle parity at both fixture scales, the
-degenerate-input fixtures the registry sweep uses, and structural
-invariants the parity compare can't see (it proves Spark ≡ DuckDB,
-not that either meets the contract). Everything here must be green
-BEFORE promotion — the point of staging is that r08 registration is
-a decorator flip, not new work."""
+"""Battery for the eight queries staged in r07 and promoted to the
+registry in r08 (queries/staged.py): full oracle parity at both
+fixture scales, the degenerate-input fixtures the registry sweep
+uses, and structural invariants the parity compare can't see (it
+proves Spark ≡ DuckDB, not that either meets the contract). The
+battery keyed on these names survives promotion — the two-scale
+parity + fuzz + pure-Python replays are unique to this module."""
 
 from __future__ import annotations
 
@@ -40,31 +40,41 @@ from .conftest import SF_CORRECT, SF_SMOKE
 # ------------------------------------------------------ staging rules
 
 
-def test_staged_disjoint_from_registry():
-    """Staged names never collide with registered ones, every staged
-    entry carries an oracle (no rows-only candidates), and the driver
-    surface is untouched — promotion must be the FIRST time the
-    driver sees these names."""
-    assert not set(STAGED) & set(REGISTRY)
-    assert all(e.oracle for e in STAGED.values())
-    import __spark_entry__ as entry
+PROMOTED = [
+    "corpus_domain_cap",
+    "corpus_packing_efficiency",
+    "corpus_reservoir_sample",
+    "dedup_substring_runs",
+    "dedup_url_keeper",
+    "quality_threshold_curve",
+    "text_char_entropy",
+    "text_repetition_score",
+]
 
-    assert not set(STAGED) & set(entry.queries())
+
+def test_promotion_complete():
+    """r08 flipped all eight staged decorators to @query: STAGED is
+    empty, every promoted name is registered with an oracle (no
+    rows-only entries slipped through the flip)."""
+    assert not STAGED
+    for name in PROMOTED:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle, name
 
 
 # ------------------------------------------------------ oracle parity
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", PROMOTED)
 def test_staged_oracle_parity_smoke(spark, name):
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, SF_SMOKE, name)
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", PROMOTED)
 def test_staged_oracle_parity_correct_sf(spark, name):
     """The driver gates at sf0.01 — stage the same scale."""
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, SF_CORRECT, name)
 
 
@@ -79,13 +89,13 @@ def degen_dir(request, tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", PROMOTED)
 def test_staged_degenerate_parity(spark, name, degen_dir):
     """Same adversarial fixtures the registry-wide sweep runs (empty
     tables, minimal adversarial rows, unicode edge cases) — a staged
     query that diverges on them would fail the sweep the round it's
     promoted, so it fails here first."""
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, degen_dir, name)
 
 
@@ -296,8 +306,8 @@ def test_staged_random_corpus_parity(spark, tmp_path_factory):
                 "n_chars": [len(t) for t in texts],
             }
         ).to_parquet(tmp / "documents.parquet")
-        for name in sorted(STAGED):
-            e = STAGED[name]
+        for name in PROMOTED:
+            e = REGISTRY[name]
             compare_query(spark, e.fn, e.oracle, str(tmp), f"rand-{name}")
 
     run()
