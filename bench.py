@@ -240,7 +240,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # Persist the COMPLETE per-query dict to a committed file: the
     # driver's BENCH artifact keeps only a 2000-char tail of stdout,
-    # which truncates ~90 of the 143 full-suite timings — regressions
+    # which truncates ~90 of the full-suite timings — regressions
     # like r05's profile_orders_columns drift were only auditable by
     # re-running (round-5 verdict task 3). Named for the round the
     # driver is about to record (max CORRECTNESS round + 1).

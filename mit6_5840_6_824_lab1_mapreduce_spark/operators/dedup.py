@@ -338,10 +338,25 @@ def simhash_near_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+# Sentinel digest for NULL text (r08 nulls contract, class a): md5 of
+# NULL is NULL, and an equi-join on a NULL key matches nothing — the
+# join-back in dedup_exact_keep would silently drop every NULL-text
+# document. Coalescing to a sentinel makes NULL-text docs ONE dedup
+# group with a min-id keeper like any other duplicate class, on BOTH
+# engines (oracles spell the same coalesce). The sentinel cannot
+# collide with a real digest (md5 output is 32 hex chars).
+NULL_TEXT_DIGEST = "<null-text>"
+
+
+def content_digest(text_col: Column) -> Column:
+    """The null-safe content digest shared by the exact-dedup family."""
+    return F.coalesce(F.md5(text_col), F.lit(NULL_TEXT_DIGEST))
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: groups by content digest; keeper = min id."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        docs.select(F.col(id_col).alias("id"), content_digest(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
     )

@@ -101,8 +101,31 @@ def lsh_bucket(q: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def embedding_populated(col: Column | None = None) -> Column:
+    """The repo-wide NULL-vector drop rule (r08 nulls contract,
+    SCALE.md §Null-input contract class c): a vector participates in
+    similarity/quantization only if it is non-NULL and fully
+    populated. One rule, applied in ``embeddings_quantized`` on the
+    Spark side and as the ``EMB_OK_SQL`` WHERE in every oracle that
+    quantizes — NULL vectors and NULL elements otherwise propagate
+    differently per engine (Spark NULL cosine vs DuckDB list ops).
+    Loudly countable: dropped = emb.count() - emb.where(rule).count().
+    """
+    if col is None:
+        col = F.col("embedding")
+    return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
+
+
+# DuckDB twin of embedding_populated — splice into every oracle CTE
+# that reads the raw embedding column for quantization.
+EMB_OK_SQL = (
+    "embedding IS NOT NULL AND NOT EXISTS "
+    "(SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)"
+)
+
+
 def embeddings_quantized(emb: DataFrame) -> DataFrame:
-    return emb.select(
+    return emb.where(embedding_populated()).select(
         "vec_id",
         "label",
         quantized(F.col("embedding")).alias("q"),
@@ -416,16 +439,34 @@ def _broadcastable(df: DataFrame) -> bool:
     True — i.e. the prior scan-parallelism-only gate, with its known
     wide-cluster/few-splits residual edge — if the internal API ever
     moves, so a Spark upgrade degrades to round-6 behavior instead of
-    disabling the small-corpus parallelism fix."""
+    disabling the small-corpus parallelism fix — and WARNS once so
+    the degradation is observable (advisor r07). The size condition
+    mirrors the planner's canBroadcastBySize (sizeInBytes >= 0): a
+    zero-stats relation is broadcastable, not excluded."""
     try:
         size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
         thr = int(
             df.sparkSession._jsparkSession.sessionState().conf()
             .autoBroadcastJoinThreshold()
         )
-        return 0 < thr and 0 < size <= thr
+        return 0 < thr and 0 <= size <= thr
     except Exception:
+        global _BROADCASTABLE_FALLBACK_WARNED
+        if not _BROADCASTABLE_FALLBACK_WARNED:
+            _BROADCASTABLE_FALLBACK_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "similarity._broadcastable: plan-stats internal API "
+                "unavailable (Spark upgrade?) — falling back to the "
+                "scan-parallelism-only repartition gate",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return True
+
+
+_BROADCASTABLE_FALLBACK_WARNED = False
 
 
 def lsh_near_pairs(

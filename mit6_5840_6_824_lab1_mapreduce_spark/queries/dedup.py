@@ -52,11 +52,11 @@ _BANDS_SQL = r"""
 @query(
     "dedup_exact",
     oracle=r"""
-    SELECT md5(text) AS content_hash,
+    SELECT coalesce(md5(text), '<null-text>') AS content_hash,
            min(doc_id) AS keep_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY coalesce(md5(text), '<null-text>')
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,9 +150,11 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_keep",
     oracle=r"""
     SELECT doc_id, content_hash, n_copies FROM (
-      SELECT doc_id, md5(text) AS content_hash,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
-             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      SELECT doc_id, coalesce(md5(text), '<null-text>') AS content_hash,
+             min(doc_id) OVER (PARTITION BY coalesce(md5(text), '<null-text>'))
+               AS keep_id,
+             count(*) OVER (PARTITION BY coalesce(md5(text), '<null-text>'))
+               AS n_copies
       FROM documents
     ) WHERE doc_id = keep_id
     """,
@@ -165,7 +167,11 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a digest-keyed aggregate) joined back to the doc table on digest."""
     docs = table(spark, sf_dir, "documents")
     g = D.exact_dedup_groups(docs)
-    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    # content_digest: null-safe sentinel (r08 nulls contract class a)
+    # so the join-back keeps NULL-text documents as their own group.
+    hashed = docs.select(
+        "doc_id", D.content_digest(F.col("text")).alias("content_hash")
+    )
     return (
         hashed.join(g, "content_hash")
         .where(F.col("doc_id") == F.col("keep_id"))

@@ -556,10 +556,12 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ),
     sess AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                        ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )
@@ -568,7 +570,10 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
-           array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 20), '>') AS path,
+           array_to_string(list_slice(
+             list(coalesce(event_type, '<null>')
+                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+             1, 20), '>') AS path,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
     FROM sess
     GROUP BY user_id, session_id
@@ -603,6 +608,13 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # r08 nulls contract: the ORACLE's sort keys are explicit NULLS
+    # FIRST (matching Spark's natural window order and sort_array's
+    # NULL-field ordering — NULL smallest), and the path element is
+    # coalesced to a sentinel on BOTH engines: array_join silently
+    # drops NULL elements while DuckDB's list aggregate keeps them,
+    # so a NULL event_type would otherwise vanish from the Spark
+    # path but not the oracle's.
     path = F.array_join(
         F.transform(
             F.slice(
@@ -612,7 +624,7 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
                 20,
             ),
-            lambda x: x["event_type"],
+            lambda x: F.coalesce(x["event_type"], F.lit("<null>")),
         ),
         ">",
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import SCALE, quantized
+from ..operators.similarity import SCALE, embedding_populated, quantized
 from ..plans import table
 from ._util import ts_str
 from .registry import query
@@ -182,6 +182,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}, 0) AS BIGINT)) AS qv
       FROM embeddings
+      WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
     ),
     am AS (
       SELECT label,
@@ -219,7 +220,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast back; everything else is per-row array HOFs
     in whole-stage codegen. One corpus pass + one broadcast join."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
+    # r08 nulls contract: the shared NULL-vector drop rule (class c).
+    q = emb.where(embedding_populated()).select(
         "vec_id", "label", quantized(F.col("embedding")).alias("qv")
     )
     am = q.groupBy("label").agg(

@@ -16,12 +16,17 @@ from ..plans import table
 from ._util import det_round_col, det_round_sql
 from .registry import query
 
+# The WHERE is the repo-wide NULL-vector drop rule (operators/
+# similarity.EMB_OK_SQL, r08 nulls contract): only non-NULL, fully
+# populated vectors participate in quantization — the Spark twin
+# lives in embeddings_quantized.
 _QUANT_SQL = r"""
   v AS (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(round(x * 1000000) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
   ),
   n AS (
     SELECT vec_id, q,
@@ -442,6 +447,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000) AS BIGINT)) AS q
       FROM embeddings
+      WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
     ),
     n AS (
       SELECT vec_id, label, len(q) AS dim,

@@ -691,6 +691,7 @@ def sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     hist AS (SELECT length(bin(cents)) - 1 AS bucket,
                     CAST(count(*) AS BIGINT) AS cnt
@@ -769,10 +770,18 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — that is the GRADING side only (the old double
     `percentile` was equally a full-data global aggregate); a
     production run keeps just the histogram cost."""
-    o = table(spark, sf_dir, "orders").select(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents")
+    # r08 nulls contract: a NULL price has no magnitude — standard
+    # percentile semantics exclude it on BOTH engines (the shared
+    # pre-filter rule; without it the NULL bucket/rank sorts FIRST in
+    # Spark and LAST in DuckDB and every downstream rank shifts).
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
     )
     hist = (
         o.select((F.length(F.bin("cents")) - 1).alias("bucket"))

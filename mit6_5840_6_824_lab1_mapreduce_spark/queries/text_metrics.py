@@ -230,19 +230,27 @@ def language_frame(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
                (acc, c) -> (acc * 31 + c) % 1000000007
              ) AS roll_hash
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT d.doc_id, md5(d.text) AS content_hash,
            coalesce(sk.sketch, '') AS sketch,
            r.roll_hash
     FROM documents d
     LEFT JOIN sk ON d.doc_id = sk.id
-    JOIN roll r ON d.doc_id = r.id
+    LEFT JOIN roll r ON d.doc_id = r.id
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content digest, bottom-4 MinHash
     sketch of shingle digests, and a 31-base polynomial rolling hash
-    over code points (mod 1e9+7) — all engine-portable."""
+    over code points (mod 1e9+7) — all engine-portable.
+
+    NULL-text contract (r08, class a): a NULL document has NO
+    fingerprint — content_hash and roll_hash are NULL on both engines
+    (the oracle LEFT-joins a roll CTE filtered to text IS NOT NULL;
+    Spark's sequence(1, length(NULL)) is NULL already). An EMPTY
+    string still fingerprints: roll_hash 0, md5('') — absent and
+    empty are different facts at ingest."""
     from ..operators.dedup import shingle_pairs_df
 
     d = table(spark, sf_dir, "documents")

@@ -1381,9 +1381,12 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT *,
-             ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_q,
-             ntile(4) OVER (ORDER BY frequency DESC,    o_custkey) AS f_q,
-             ntile(4) OVER (ORDER BY monetary  DESC,    o_custkey) AS m_q
+             ntile(4) OVER (ORDER BY recency_days ASC NULLS LAST,
+                            o_custkey NULLS LAST) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                            o_custkey NULLS LAST) AS f_q,
+             ntile(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                            o_custkey NULLS LAST) AS m_q
       FROM cust
     )
     SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
@@ -1413,15 +1416,38 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.max("last_order").over(w_all), F.col("last_order")),
     )
+    # r08 nulls contract class (b): EXPLICIT NULLS LAST on every
+    # nullable sort key INCLUDING tie-breaks (o_custkey is itself
+    # nullable) — Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST;
+    # unknown recency/frequency/monetary ranks worst, the standard
+    # RFM treatment. The oracle spells the same NULLS LAST.
     scored = (
         cust.withColumn(
-            "r_q", F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+            "r_q",
+            F.ntile(4).over(
+                Window.orderBy(
+                    F.asc_nulls_last("recency_days"),
+                    F.asc_nulls_last("o_custkey"),
+                )
+            ),
         )
         .withColumn(
-            "f_q", F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+            "f_q",
+            F.ntile(4).over(
+                Window.orderBy(
+                    F.desc_nulls_last("frequency"),
+                    F.asc_nulls_last("o_custkey"),
+                )
+            ),
         )
         .withColumn(
-            "m_q", F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+            "m_q",
+            F.ntile(4).over(
+                Window.orderBy(
+                    F.desc_nulls_last("monetary"),
+                    F.asc_nulls_last("o_custkey"),
+                )
+            ),
         )
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(

@@ -335,10 +335,11 @@ def test_sweep_nulls(spark, degen_nulls, qname):
     """True SQL NULLs in every nullable column (round 7): NULL
     propagation through regexp/HOF/md5 paths, NULL group and join
     keys, NULL money/timestamps, NULL embedding lists and elements.
-    The 16 pinned divergences are the r08 fix backlog (SCALE.md
-    §Null-input contract); everything else must hash-match."""
+    r08 landed the null-handling fixes (SCALE.md §Null-input
+    contract), so only the class-(d) loud multimodal guards remain
+    pinned; everything else must hash-match."""
     if qname in ALLOWLIST["nulls"]:
-        pytest.skip("pinned nulls divergence - r08 fix backlog (see ALLOWLIST)")
+        pytest.skip("designed loud strict-guard on NULL text (class d)")
     e = REGISTRY[qname]
     if e.oracle is None:
         e.fn(spark, degen_nulls).count()
@@ -394,8 +395,9 @@ def test_null_sort_order_engine_divergence_pinned(spark):
     explicit NULLS clause diverges cross-engine while being
     internally consistent on each engine. Pinned so an engine
     version change that silently aligns (or further splits) the
-    defaults is noticed — the r08 fix plan (explicit NULLS FIRST on
-    every nullable sort key) depends on this fact."""
+    defaults is noticed — the landed r08 class-(b) fix (explicit
+    NULLS LAST on every nullable sort key, tie-breaks included)
+    depends on this fact."""
     import duckdb
 
     svals = [

@@ -32,8 +32,8 @@ this script is the triage tool that reports ALL outcomes instead of
 failing fast.
 
 Exit status: 0 iff every non-pinned (query, fixture) run is OK —
-the documented pinned divergences (2 empty + 2 unicode + 16 nulls,
-each with a written rationale and, for nulls, an r08 fix plan) are
+the documented pinned divergences (2 empty + 2 unicode + 2 nulls,
+each a written, loud-by-design contract) are
 allowlisted (ALLOWLIST, imported by the test module so tool and
 tests cannot disagree), and a pin whose failure MODE changes is
 still reported (per-query expected markers, not a per-fixture
@@ -496,53 +496,21 @@ _ROWS_BY_KIND = {
 ALLOWLIST: dict[str, set[str]] = {
     "empty": {"sales_rollup", "docs_cube_stats"},
     "minimal": set(),
-    # nulls pins (round 7): 16 divergences found by the new fixture,
-    # ALL driver-invisible (the sf0.01 gate fixture carries no NULLs)
-    # and all PINNED rather than fixed THIS round because every fix
-    # touches a registered query's oracle text — 16 def-hash changes
-    # would scramble the fully-determined r07 seat window (verdict r06
-    # task 5). Fix plan lands with the r08 promotions; root-cause
-    # classes (full writeup in SCALE.md §Null-input contract):
-    #  (a) NULL JOIN KEYS silently drop rows: digest/groupBy-join-back
-    #      plans lose NULL-keyed rows where the oracle's window keeps
-    #      them (dedup_exact_keep, corpus_semantic_mixture,
-    #      events_session_sequences, text_fingerprint) — r08 fix:
-    #      null-safe key coalesce or explicit pre-filter, SAME rule in
-    #      both engines.
-    #  (b) SORT-ORDER on nullable keys: Spark ASC = NULLS FIRST,
-    #      DuckDB ASC = NULLS LAST (customer_rfm_segments ntile,
-    #      similarity_topk_batch rank, embedding_cluster_sample,
-    #      sketch_histogram_quantiles) — r08 fix: explicit NULLS
-    #      FIRST/LAST on every nullable sort key, or pre-filter.
-    #  (c) NULL embeddings / NULL list ELEMENTS: the quantize frame
-    #      propagates NULLs where oracles keep/drop differently
-    #      (dedup_embedding_cosine, similarity_lsh_near_pairs,
-    #      similarity_ivf_assign, embedding_kmeans_centroids,
-    #      embedding_norm_stats, embedding_quantize_int8) — r08 fix:
-    #      ONE shared drop rule (embedding IS NULL OR exists(x ->
-    #      x IS NULL) excluded, loudly countable) in
-    #      embeddings_quantized + the same WHERE in every oracle.
-    #  (d) STRICT GUARD conflation: the multimodal text stand-in's
-    #      ascii_ok predicate is NULL on NULL text, so strict mode
-    #      raises (message now names both causes) — loud-by-design,
-    #      same class as the unicode pins.
+    # nulls pins: r07 found 16 divergences; r08 FIXED the 14
+    # value-divergent ones in the registered definitions (SCALE.md
+    # §Null-input contract — (a) null-safe keys: sentinel content
+    # digest, fingerprint/path NULL contracts; (b) explicit NULLS
+    # LAST/FIRST on every nullable sort key incl. tie-breaks, or a
+    # pre-filter where NULL has no place in the statistic; (c) the
+    # shared NULL-vector drop rule in embeddings_quantized +
+    # EMB_OK_SQL in every quantizing oracle). What remains pinned is
+    # class (d) only: the multimodal text stand-in's strict guard
+    # raises on NULL text — loud BY DESIGN, the same contract as the
+    # unicode pins (the error message names both causes; strict=False
+    # drops such rows instead).
     "nulls": {
-        "customer_rfm_segments",
-        "events_session_sequences",
-        "dedup_exact_keep",
-        "dedup_embedding_cosine",
-        "similarity_lsh_near_pairs",
-        "similarity_topk_batch",
-        "similarity_ivf_assign",
-        "embedding_kmeans_centroids",
-        "embedding_norm_stats",
-        "embedding_cluster_sample",
-        "corpus_semantic_mixture",
-        "text_fingerprint",
         "multimodal_frame_sample",
         "multimodal_resize",
-        "sketch_histogram_quantiles",
-        "embedding_quantize_int8",
     },
     "unicode": {"multimodal_resize", "multimodal_frame_sample"},
     "timewarp": set(),
