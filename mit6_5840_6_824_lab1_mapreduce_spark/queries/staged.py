@@ -697,3 +697,355 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+# =====================================================================
+# r09 candidates, STAGED (same discipline as the r07→r08 batch: full
+# @query contract + battery, registered into registry.STAGED so the
+# saturated r08 window — 8 promotions + 20 changed rows + pins + the
+# r05 staleness cohort — is untouched; promotion in r09 is the
+# decorator flip once CORRECTNESS_r08.json frees seats).
+# =====================================================================
+
+from .registry import staged_query  # noqa: E402
+from ..operators import similarity as _S  # noqa: E402
+from .similarity import _COS_SQL, _PLANES, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
+from .decontam import HOLDOUT_MOD, _HITS_SQL  # noqa: E402
+from .dedup import _SHINGLES_SQL  # noqa: E402
+
+
+# --------------------------------------------------------------- 1/4
+# Shard-skew audit for the packing sharder: per-shard token mass vs
+# the uniform share. The pack frame (corpus_pack_sequences /
+# pipeline_training_export) shards by doc_id % PACK_SHARDS; a skewed
+# shard means one training-data writer finishes long after the rest
+# (stragglers at 100 TB are per-shard, not per-task). Same shard rule
+# and same n_tokens>0 floor as pack_sequences_frame so the audit can
+# never drift from the sharder it audits.
+#
+# Shape (100 TB): one corpus scan → (shard, n_tokens) → a
+# PACK_SHARDS-row aggregate; the totals join is a broadcast of that
+# k-row table. Output is bounded by the shard count at any corpus
+# size. skew_factor = shard_tokens·n_shards/total (1.0 = perfectly
+# uniform); wide ratios because the numerator is a whole-corpus token
+# sum times shard count.
+@staged_query(
+    "corpus_shard_skew",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(text, '[\p{{L}}]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT shard, n_tokens FROM t WHERE n_tokens > 0),
+    per AS (
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      FROM nz GROUP BY shard
+    ),
+    tot AS (
+      SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM per
+    )
+    SELECT per.shard, per.n_docs, per.shard_tokens,
+           {exact_ratio_wide_sql("per.shard_tokens", "tot.total_tokens")}
+             AS token_share,
+           {exact_ratio_wide_sql("per.shard_tokens * tot.n_shards",
+                                 "tot.total_tokens")} AS skew_factor
+    FROM per, tot
+    """,
+)
+def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard token mass + skew factor for the doc_id % PACK_SHARDS
+    packing sharder (1.0 = uniform). One scan, one k-row aggregate,
+    one broadcast totals join — bounded output at any corpus size."""
+    t = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    per = t.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+    tot = per.agg(
+        F.sum("shard_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        exact_ratio_wide_spark("shard_tokens", "total_tokens").alias(
+            "token_share"
+        ),
+        exact_ratio_wide_spark(
+            "shard_tokens * n_shards", "total_tokens"
+        ).alias("skew_factor"),
+    )
+
+
+# --------------------------------------------------------------- 2/4
+# Cross-source vocabulary overlap: Jaccard of the top-K token sets of
+# every source pair — the domain-shift audit a mixture designer reads
+# before setting blend weights (two "different" crawls whose top
+# vocabularies are near-identical add redundancy, not diversity).
+#
+# Shape (100 TB): (source, token) aggregate (one shuffle over tokens,
+# the same width as every tf table here) → per-source top-K via
+# row_number (WindowGroupLimit ships ~K rows per source per task) →
+# the pair join runs over ≤ K·|sources| rows, broadcastable at any
+# corpus size. Zero-overlap pairs are emitted (LEFT JOIN from the
+# pair frame) — silence is a finding in a mixture audit.
+VOCAB_K = 200
+
+
+@staged_query(
+    "tokenizer_vocab_overlap",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[\p{{L}}]+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY source, token),
+    ranked AS (
+      SELECT source, token,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tf DESC, token ASC) AS rk
+      FROM cnt
+    ),
+    top AS (SELECT source, token FROM ranked WHERE rk <= {VOCAB_K}),
+    vsz AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM top GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT va.source AS source_a, vb.source AS source_b,
+           va.v AS vocab_a, vb.v AS vocab_b,
+           coalesce(s.n_shared, 0) AS n_shared,
+           {exact_ratio_sql("coalesce(s.n_shared, 0)",
+                            "va.v + vb.v - coalesce(s.n_shared, 0)")}
+             AS jaccard
+    FROM vsz va
+    JOIN vsz vb ON va.source < vb.source
+    LEFT JOIN shared s ON s.source_a = va.source AND s.source_b = vb.source
+    """,
+)
+def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary Jaccard for every source pair (zero-overlap
+    pairs included). Grouped top-K via row_number so the pair join
+    sees ≤ K rows per source, never the token table."""
+    tok = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[\p{L}]+"), 0)
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("token"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= VOCAB_K)
+        .select("source", "token")
+    )
+    vsz = top.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    shared = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pairs = (
+        vsz.alias("va")
+        .join(
+            F.broadcast(vsz.alias("vb")),
+            F.col("va.source") < F.col("vb.source"),
+        )
+        .select(
+            F.col("va.source").alias("source_a"),
+            F.col("vb.source").alias("source_b"),
+            F.col("va.v").alias("vocab_a"),
+            F.col("vb.v").alias("vocab_b"),
+        )
+    )
+    out = pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        exact_ratio_spark(
+            "coalesce(n_shared, 0)", "vocab_a + vocab_b - coalesce(n_shared, 0)"
+        ).alias("jaccard"),
+    )
+    return out
+
+
+# --------------------------------------------------------------- 3/4
+# Near-pair graph degree profile: how many near-duplicates each
+# vector participates in, as a degree histogram with degree-0
+# (isolated) vectors included. The ANN-graph health check before
+# building retrieval indexes or dedup clusters: a fat high-degree
+# tail means boilerplate/templated content (hub vectors) that will
+# dominate any graph walk, and the isolated share is the fraction of
+# the corpus that fuzzy dedup cannot touch.
+#
+# Shape (100 TB): pairs come from the sub-quadratic LSH bucket join
+# (never all-pairs); degrees are one aggregate over 2 rows per pair;
+# the isolated count is a LEFT JOIN of the (already quantized) vector
+# ids against the degree table — shuffle keyed on vec_id, output
+# bounded by the distinct-degree count.
+@staged_query(
+    "similarity_graph_degree",
+    oracle=rf"""
+    WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
+    {_QUANT_SQL},
+    pv AS (
+      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM pv GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} >= 0.45
+    ),
+    ends AS (
+      SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs
+    ),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id)
+    SELECT coalesce(d.degree, 0) AS degree,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM n LEFT JOIN deg d ON n.vec_id = d.id
+    GROUP BY 1
+    """,
+)
+def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH near-pair graph (cos ≥ 0.45),
+    degree-0 vectors included via a LEFT JOIN against the quantized
+    vector table — isolated share and hub tail in one bounded table."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = _S.lsh_near_pairs(emb, threshold=0.45, planes=_PLANES).select(
+        "id_a", "id_b"
+    )
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    v = _S.embeddings_quantized(emb).select("vec_id")
+    return (
+        v.join(deg, v.vec_id == deg.id, "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+
+
+# --------------------------------------------------------------- 4/4
+# Benchmark-side exposure report: the mirror of decontam_drop_list.
+# The drop list cleans the CORPUS; this table grades the EVAL — for
+# every benchmark document: how many corpus documents collide with
+# it, the worst single-document overlap, and that overlap as a
+# fraction of the benchmark doc's own gram set (1.0 = some corpus
+# doc contains every distinctive gram of this eval item — the item
+# is memorizable and must be excluded from reported metrics).
+# Zero-hit items are emitted too: the usable-eval inventory.
+#
+# Shape (100 TB): rides the identical df-capped gram join as the
+# other decontam queries (shuffled by gram, hot grams excluded by
+# the boilerplate cap); the rollup is per-bench-doc (holdout-sized,
+# tiny); the gram-count side is an aggregate of the same shingle
+# table. LEFT JOINs keep clean items without a second corpus pass.
+@staged_query(
+    "decontam_bench_exposure",
+    oracle=rf"""
+    WITH {_SHINGLES_SQL},
+    {_HITS_SQL},
+    bgr AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM sh WHERE id % {HOLDOUT_MOD} = 0 GROUP BY id
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id FROM documents
+      WHERE doc_id % {HOLDOUT_MOD} = 0
+    ),
+    agg AS (
+      SELECT bench_id,
+             CAST(count(*) AS BIGINT) AS n_corpus_hits,
+             CAST(max(shared_grams) AS BIGINT) AS max_shared,
+             CAST(sum(shared_grams) AS BIGINT) AS total_shared
+      FROM hits GROUP BY bench_id
+    )
+    SELECT b.bench_id,
+           coalesce(a.n_corpus_hits, 0) AS n_corpus_hits,
+           coalesce(a.max_shared, 0) AS max_shared,
+           coalesce(a.total_shared, 0) AS total_shared,
+           coalesce(g.n_grams, 0) AS n_grams,
+           {exact_ratio_sql("coalesce(a.max_shared, 0)", "g.n_grams")}
+             AS worst_overlap
+    FROM bench b
+    LEFT JOIN agg a ON b.bench_id = a.bench_id
+    LEFT JOIN bgr g ON b.bench_id = g.id
+    """,
+)
+def decontam_bench_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-doc contamination exposure (zero-hit items
+    included): hit count, worst single-corpus-doc overlap, and that
+    overlap as a fraction of the item's own distinct grams
+    (NULL when the item has no grams to leak)."""
+    from .decontam import _hits_frame
+
+    docs = table(spark, sf_dir, "documents")
+    from ..operators import dedup as _D
+
+    sh = _D.shingle_pairs_df(docs)
+    bgr = (
+        sh.where(F.col("id") % HOLDOUT_MOD == 0)
+        .groupBy(F.col("id").alias("bench_id"))
+        .agg(F.count("*").cast("long").alias("n_grams"))
+    )
+    bench = docs.where(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+        F.col("doc_id").alias("bench_id")
+    )
+    agg = _hits_frame(spark, sf_dir).groupBy("bench_id").agg(
+        F.count("*").cast("long").alias("n_corpus_hits"),
+        F.max("shared_grams").cast("long").alias("max_shared"),
+        F.sum("shared_grams").cast("long").alias("total_shared"),
+    )
+    return (
+        bench.join(agg, "bench_id", "left")
+        .join(bgr, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_corpus_hits", F.lit(0)).cast("long").alias(
+                "n_corpus_hits"
+            ),
+            F.coalesce("max_shared", F.lit(0)).cast("long").alias("max_shared"),
+            F.coalesce("total_shared", F.lit(0)).cast("long").alias(
+                "total_shared"
+            ),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            exact_ratio_spark("coalesce(max_shared, 0)", "n_grams").alias(
+                "worst_overlap"
+            ),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
+from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
 
 from .conftest import SF_SMOKE
 
@@ -55,16 +55,20 @@ BNLJ_ALLOWED = {
     "sketch_kmv_merge",  # merged/direct k-th hash: two 1-row broadcasts
     "sketch_join_estimate",  # three scalar stats: 1-row broadcasts
     "sketch_histogram_quantiles",  # ~50-row histogram + 1-row stats broadcasts
+    "corpus_shard_skew",  # PACK_SHARDS-row totals: 1-row broadcast
+    "tokenizer_vocab_overlap",  # source-pair frame: |sources|-row broadcast
 }
 
-CASES = sorted(REGISTRY)
+# Staged queries are audited BEFORE promotion, same as the sweeps.
+_AUDITED = {**REGISTRY, **STAGED}
+CASES = sorted(_AUDITED)
 
 
 @pytest.mark.parametrize("name", CASES)
 def test_plan_is_scale_clean(spark, name):
     from mit6_5840_6_824_lab1_mapreduce_spark.plans import plan_audit
 
-    audit = plan_audit(REGISTRY[name].fn(spark, SF_SMOKE))
+    audit = plan_audit(_AUDITED[name].fn(spark, SF_SMOKE))
     assert not audit.has_cartesian, f"{name}: cartesian product"
     if name not in BNLJ_ALLOWED:
         assert audit.n_nested_loop_joins == 0, f"{name}: nested-loop join"

@@ -388,3 +388,171 @@ def test_domain_cap_matches_python_replay(spark):
             assert r.keep == (1 if cum < DOMAIN_CAP_TOKENS else 0), (host, r)
             cum += r.n_tokens
         assert sum(r.keep for r in grp) >= 1  # every host keeps >=1
+
+
+# ====================================================== r09 staged set
+
+STAGED_R09 = [
+    "corpus_shard_skew",
+    "decontam_bench_exposure",
+    "similarity_graph_degree",
+    "tokenizer_vocab_overlap",
+]
+
+
+def test_r09_staging_rules():
+    """The r09 candidates live in STAGED (not driver-visible), all
+    carry oracles, and never collide with registered names."""
+    assert sorted(STAGED) == STAGED_R09
+    assert all(STAGED[n].oracle for n in STAGED_R09)
+    assert not set(STAGED) & set(REGISTRY)
+    import __spark_entry__ as entry
+
+    assert not set(STAGED) & set(entry.queries())
+
+
+@pytest.mark.parametrize("name", STAGED_R09)
+def test_r09_staged_parity_smoke(spark, name):
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, SF_SMOKE, name)
+
+
+@pytest.mark.parametrize("name", STAGED_R09)
+def test_r09_staged_parity_correct_sf(spark, name):
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, SF_CORRECT, name)
+
+
+@pytest.mark.parametrize("name", STAGED_R09)
+def test_r09_staged_degenerate_parity(spark, name, degen_dir):
+    e = STAGED[name]
+    compare_query(spark, e.fn, e.oracle, degen_dir, name)
+
+
+def test_shard_skew_matches_python(spark):
+    """Pure-Python replay of the shard accounting; the ratios ride the
+    property-tested exact_ratio_wide idiom."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        corpus_shard_skew,
+    )
+
+    toks = {
+        r.doc_id: len(r.ts)
+        for r in table(spark, SF_SMOKE, "documents")
+        .select("doc_id", _tokens().alias("ts"))
+        .collect()
+    }
+    shard_tok: dict[int, int] = {}
+    shard_docs: dict[int, int] = {}
+    for doc_id, n in toks.items():
+        if n > 0:
+            s = doc_id % 8
+            shard_tok[s] = shard_tok.get(s, 0) + n
+            shard_docs[s] = shard_docs.get(s, 0) + 1
+    total = sum(shard_tok.values())
+    rows = {r.shard: r for r in corpus_shard_skew(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(shard_tok)
+    for s, r in rows.items():
+        assert r.n_docs == shard_docs[s]
+        assert r.shard_tokens == shard_tok[s]
+        assert r.token_share == pytest.approx(shard_tok[s] / total, abs=1e-6)
+        assert r.skew_factor == pytest.approx(
+            shard_tok[s] * len(shard_tok) / total, abs=1e-6
+        )
+    assert sum(r.token_share for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-4
+    )
+
+
+def test_vocab_overlap_matches_python(spark):
+    """Replay the per-source top-K vocabulary and the pairwise Jaccard
+    in pure Python."""
+    import re
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        VOCAB_K,
+        tokenizer_vocab_overlap,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    counts: dict[str, dict[str, int]] = {}
+    for r in docs:
+        if r.text is None:
+            continue
+        for tok in re.findall(r"[^\W\d_]+", r.text.lower(), re.UNICODE):
+            counts.setdefault(r.source, {})[tok] = (
+                counts.setdefault(r.source, {}).get(tok, 0) + 1
+            )
+    top: dict[str, set[str]] = {
+        src: {
+            t
+            for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :VOCAB_K
+            ]
+        }
+        for src, c in counts.items()
+    }
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in tokenizer_vocab_overlap(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(top)
+    expect_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    assert set(rows) == expect_pairs
+    for (a, b), r in rows.items():
+        inter = len(top[a] & top[b])
+        union = len(top[a]) + len(top[b]) - inter
+        assert r.vocab_a == len(top[a]) and r.vocab_b == len(top[b])
+        assert r.n_shared == inter
+        assert r.jaccard == pytest.approx(inter / union, abs=1e-6)
+
+
+def test_graph_degree_reconciles_with_pair_table(spark):
+    """Handshake identity: Σ degree·n_vecs = 2·|pairs|, Σ n_vecs =
+    |populated vectors| — and degree-0 really means isolated."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators import similarity as S
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.similarity import _PLANES
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        similarity_graph_degree,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    n_pairs = S.lsh_near_pairs(emb, threshold=0.45, planes=_PLANES).count()
+    n_vecs = S.embeddings_quantized(emb).count()
+    hist = similarity_graph_degree(spark, SF_SMOKE).collect()
+    assert sum(r.degree * r.n_vecs for r in hist) == 2 * n_pairs
+    assert sum(r.n_vecs for r in hist) == n_vecs
+    assert all(r.degree >= 0 and r.n_vecs >= 1 for r in hist)
+
+
+def test_bench_exposure_covers_every_bench_doc(spark):
+    """Every holdout doc appears exactly once; clean items carry
+    all-zero exposure; ratios are bounded by 1 and NULL only when the
+    item has no grams."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.decontam import (
+        HOLDOUT_MOD,
+    )
+    from mit6_5840_6_824_lab1_mapreduce_spark.queries.staged import (
+        decontam_bench_exposure,
+    )
+
+    bench_ids = {
+        r.doc_id
+        for r in table(spark, SF_SMOKE, "documents").collect()
+        if r.doc_id % HOLDOUT_MOD == 0
+    }
+    rows = decontam_bench_exposure(spark, SF_SMOKE).collect()
+    assert {r.bench_id for r in rows} == bench_ids
+    assert len(rows) == len(bench_ids)
+    for r in rows:
+        if r.n_corpus_hits == 0:
+            assert r.max_shared == 0 and r.total_shared == 0
+        else:
+            assert 1 <= r.max_shared <= r.n_grams
+            assert r.total_shared >= r.max_shared
+        if r.n_grams == 0:
+            assert r.worst_overlap is None
+        else:
+            assert 0.0 <= r.worst_overlap <= 1.0
