@@ -77,6 +77,13 @@ QUERIES = [
     # across all 10 copies on full diagonals — a harder candidate
     # density than natural growth, same caveat as the dedup family.
     "dedup_substring_runs",
+    # Round-8 staged flagship: the degree profile joins the FULL
+    # quantized vector table against the LSH pair graph's degree
+    # aggregate (the other three r09 candidates are bounded-output
+    # aggregates or ride already-smoked join shapes). The 10-clique
+    # replication again makes candidate density harsher than natural
+    # growth.
+    "similarity_graph_degree",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
