@@ -53,13 +53,14 @@ PROMOTED = [
 
 
 def test_promotion_complete():
-    """r08 flipped all eight staged decorators to @query: STAGED is
-    empty, every promoted name is registered with an oracle (no
-    rows-only entries slipped through the flip)."""
-    assert not STAGED
+    """r08 flipped all eight staged decorators to @query: every
+    promoted name is registered with an oracle (no rows-only entries
+    slipped through the flip), and none lingers in STAGED (which now
+    holds only the r09 candidates — see test_r09_staging_rules)."""
     for name in PROMOTED:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle, name
+        assert name not in STAGED, name
 
 
 # ------------------------------------------------------ oracle parity
