@@ -116,8 +116,11 @@ def embedding_populated(col: Column | None = None) -> Column:
     return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
 
 
-# DuckDB twin of embedding_populated — splice into every oracle CTE
-# that reads the raw embedding column for quantization.
+# DuckDB twin of embedding_populated — spliced into every oracle CTE
+# that reads the raw embedding column for quantization (_QUANT_SQL,
+# embedding_norm_stats, embedding_quantize_int8); the oracle text is
+# byte-identical to the pre-splice literals, so def-hashes are
+# unchanged and the rule has exactly one definition per engine side.
 EMB_OK_SQL = (
     "embedding IS NOT NULL AND NOT EXISTS "
     "(SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)"

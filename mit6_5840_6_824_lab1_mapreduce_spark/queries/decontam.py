@@ -45,7 +45,13 @@ _HITS_SQL = rf"""
 """
 
 
-def _hits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hits_and_shingles(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(hits, sh): the (bench, corpus, shared_grams) evidence table
+    plus the persisted distinct (id, shingle) frame it was built from,
+    so callers needing per-doc gram counts reuse the ONE tokenize/
+    shingle pass instead of scanning the corpus again."""
     docs = table(spark, sf_dir, "documents")
     # Tokenize/shingle once for its three consumers (df count + both
     # join sides) — same persist pattern as the MinHash pipeline.
@@ -59,11 +65,16 @@ def _hits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = shk.where(F.col("id") % HOLDOUT_MOD != 0).select(
         F.col("id").alias("corpus_id"), "shingle"
     )
-    return (
+    hits = (
         bench.join(corpus, "shingle")
         .groupBy("bench_id", "corpus_id")
         .agg(F.count("*").alias("shared_grams"))
     )
+    return hits, sh
+
+
+def _hits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hits_and_shingles(spark, sf_dir)[0]
 
 
 @query(
@@ -114,7 +125,7 @@ def decontam_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reuse the similarity suite's exact-arithmetic fragments so the two
 # oracles can never drift: int64 quantization, hyperplane buckets,
 # and the rounded cosine.
-from .similarity import _COS_SQL, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
+from .similarity import _BUCKETS_SQL, _COS_SQL, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
 
 EMB_HOLDOUT_MOD = 10  # vec_id % 10 == 0 → benchmark side
 EMB_COS_THRESHOLD = 0.45
@@ -125,18 +136,7 @@ EMB_COS_THRESHOLD = 0.45
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
     {_QUANT_SQL},
-    pv AS (
-      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
-      FROM n CROSS JOIN planes pl
-      GROUP BY n.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM pv GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    {_BUCKETS_SQL},
     hits AS (
       SELECT a.vec_id AS corpus_id, b.vec_id AS holdout_id,
              {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} AS cos

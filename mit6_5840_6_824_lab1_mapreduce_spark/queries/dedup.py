@@ -51,12 +51,12 @@ _BANDS_SQL = r"""
 
 @query(
     "dedup_exact",
-    oracle=r"""
-    SELECT coalesce(md5(text), '<null-text>') AS content_hash,
+    oracle=rf"""
+    SELECT coalesce(md5(text), '{D.NULL_TEXT_DIGEST}') AS content_hash,
            min(doc_id) AS keep_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY coalesce(md5(text), '<null-text>')
+    GROUP BY coalesce(md5(text), '{D.NULL_TEXT_DIGEST}')
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,12 +148,12 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_exact_keep",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id, content_hash, n_copies FROM (
-      SELECT doc_id, coalesce(md5(text), '<null-text>') AS content_hash,
-             min(doc_id) OVER (PARTITION BY coalesce(md5(text), '<null-text>'))
+      SELECT doc_id, coalesce(md5(text), '{D.NULL_TEXT_DIGEST}') AS content_hash,
+             min(doc_id) OVER (PARTITION BY coalesce(md5(text), '{D.NULL_TEXT_DIGEST}'))
                AS keep_id,
-             count(*) OVER (PARTITION BY coalesce(md5(text), '<null-text>'))
+             count(*) OVER (PARTITION BY coalesce(md5(text), '{D.NULL_TEXT_DIGEST}'))
                AS n_copies
       FROM documents
     ) WHERE doc_id = keep_id

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import SCALE, embedding_populated, quantized
+from ..operators.similarity import EMB_OK_SQL, SCALE, embedding_populated, quantized
 from ..plans import table
 from ._util import ts_str
 from .registry import query
@@ -182,7 +182,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}, 0) AS BIGINT)) AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
+      WHERE {EMB_OK_SQL}
     ),
     am AS (
       SELECT label,

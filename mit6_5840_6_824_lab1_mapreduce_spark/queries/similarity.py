@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..operators.similarity import EMB_OK_SQL
 from ..plans import table
 from ._util import det_round_col, det_round_sql
 from .registry import query
@@ -20,13 +21,13 @@ from .registry import query
 # similarity.EMB_OK_SQL, r08 nulls contract): only non-NULL, fully
 # populated vectors participate in quantization — the Spark twin
 # lives in embeddings_quantized.
-_QUANT_SQL = r"""
+_QUANT_SQL = rf"""
   v AS (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(round(x * 1000000) AS BIGINT)) AS q
     FROM embeddings
-    WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
+    WHERE {EMB_OK_SQL}
   ),
   n AS (
     SELECT vec_id, q,
@@ -41,6 +42,23 @@ _COS_SQL = det_round_sql(
     " i -> {a}.q[i] * {b}[i]))"
     " / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE)))"
 )
+
+# Shared hyperplane-bucket CTE block (SQL twin of lsh_bucket): pv =
+# per-plane signed projections, buckets = 8 sign bits, nb = quantized
+# vectors + bucket. ONE definition so bucket semantics cannot drift
+# between the five oracles that candidate-generate through it.
+_BUCKETS_SQL = r"""pv AS (
+      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM pv GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id))"""
 
 _PLANES = S.hyperplanes()  # 8×64 constant, shared with the oracle below
 _PLANES_VALUES = ", ".join(
@@ -73,18 +91,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
     {_QUANT_SQL},
-    pv AS (
-      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
-      FROM n CROSS JOIN planes pl
-      GROUP BY n.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM pv GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    {_BUCKETS_SQL},
     qv AS (SELECT q AS qq, n2 AS qn2, bucket AS qb FROM nb WHERE vec_id = 0)
     SELECT nb.vec_id,
            {_COS_SQL.format(a="nb", b="qv.qq", n2b="qv.qn2")} AS cos
@@ -126,18 +133,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
     {_QUANT_SQL},
-    pv AS (
-      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
-      FROM n CROSS JOIN planes pl
-      GROUP BY n.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM pv GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id))
+    {_BUCKETS_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_COS_SQL.format(a="a", b="b.q", n2b="b.n2")} AS cos
     FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -161,18 +157,7 @@ def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
     {_QUANT_SQL},
-    pv AS (
-      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
-      FROM n CROSS JOIN planes pl
-      GROUP BY n.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM pv GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    {_BUCKETS_SQL},
     qv AS (SELECT q AS qq, n2 AS qn2, bucket AS qb FROM nb WHERE vec_id = 0)
     SELECT nb.vec_id,
            {_COS_SQL.format(a="nb", b="qv.qq", n2b="qv.qn2")} AS cos
@@ -447,7 +432,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000) AS BIGINT)) AS q
       FROM embeddings
-      WHERE embedding IS NOT NULL AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)
+      WHERE {EMB_OK}
     ),
     n AS (
       SELECT vec_id, label, len(q) AS dim,
@@ -467,7 +452,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(CAST(min(n2) AS DOUBLE)) / 1000000.0"
     )).replace("{mxn}", det_round_sql(
         "sqrt(CAST(max(n2) AS DOUBLE)) / 1000000.0"
-    )),
+    )).replace("{EMB_OK}", EMB_OK_SQL),
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table QA profile per label: vector count, dimension,

@@ -709,7 +709,7 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .registry import staged_query  # noqa: E402
 from ..operators import similarity as _S  # noqa: E402
-from .similarity import _COS_SQL, _PLANES, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
+from .similarity import _BUCKETS_SQL, _COS_SQL, _PLANES, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
 from .decontam import HOLDOUT_MOD, _HITS_SQL  # noqa: E402
 from .dedup import _SHINGLES_SQL  # noqa: E402
 
@@ -911,18 +911,7 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
     {_QUANT_SQL},
-    pv AS (
-      SELECT n.vec_id, pl.p, sum(n.q[pl.d + 1] * pl.w) AS s
-      FROM n CROSS JOIN planes pl
-      GROUP BY n.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM pv GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.q, n.n2, b.bucket FROM n JOIN buckets b USING (vec_id)),
+    {_BUCKETS_SQL},
     prs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -1012,12 +1001,14 @@ def decontam_bench_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     included): hit count, worst single-corpus-doc overlap, and that
     overlap as a fraction of the item's own distinct grams
     (NULL when the item has no grams to leak)."""
-    from .decontam import _hits_frame
+    from .decontam import _hits_and_shingles
 
     docs = table(spark, sf_dir, "documents")
-    from ..operators import dedup as _D
-
-    sh = _D.shingle_pairs_df(docs)
+    # ONE tokenize/shingle pass: the gram counts aggregate the same
+    # persisted shingle frame the hits join was built from (review
+    # r08: calling shingle_pairs_df again doubled the most expensive
+    # stage).
+    hits, sh = _hits_and_shingles(spark, sf_dir)
     bgr = (
         sh.where(F.col("id") % HOLDOUT_MOD == 0)
         .groupBy(F.col("id").alias("bench_id"))
@@ -1026,7 +1017,7 @@ def decontam_bench_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % HOLDOUT_MOD == 0).select(
         F.col("doc_id").alias("bench_id")
     )
-    agg = _hits_frame(spark, sf_dir).groupBy("bench_id").agg(
+    agg = hits.groupBy("bench_id").agg(
         F.count("*").cast("long").alias("n_corpus_hits"),
         F.max("shared_grams").cast("long").alias("max_shared"),
         F.sum("shared_grams").cast("long").alias("total_shared"),

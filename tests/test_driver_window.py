@@ -138,10 +138,15 @@ def test_next_round_defs_snapshot_is_current():
     snap_file = REPO / f"QUERY_DEFS_r{nxt:02d}.json"
     cur = current_defs()
     if not snap_file.exists():
-        snap_file.write_text(
+        # Atomic write (tmp + rename): a parallel test runner or an
+        # interrupted run must never leave a half-written snapshot
+        # that the content check below would then call "stale".
+        tmp = snap_file.with_suffix(".json.tmp")
+        tmp.write_text(
             json.dumps(dict(sorted(cur.items())), indent=0, sort_keys=True)
             + "\n"
         )
+        tmp.replace(snap_file)
         return
     snap = json.loads(snap_file.read_text())
     drifted = sorted(
@@ -156,11 +161,31 @@ def test_next_round_defs_snapshot_is_current():
 def test_defs_snapshots_cover_their_rounds_rosters():
     """Every query with a CORRECTNESS row in round R must appear in
     QUERY_DEFS_r{R}.json — otherwise change detection silently treats
-    it as unchanged forever (missing-snapshot fallback)."""
+    it as unchanged forever (missing-snapshot fallback). The snapshot
+    must also be GIT-TRACKED, not merely present: the self-healing
+    next-round guard auto-writes its file locally, and an auto-written
+    but never-committed snapshot would keep local tests green while
+    any other checkout (the driver's included) lacks the file — this
+    closes that gap loudly as soon as the round's CORRECTNESS artifact
+    lands. Only rounds WITH a CORRECTNESS file are held to it, so the
+    freshly auto-written next-round file stays exempt."""
+    import subprocess
+
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files", "QUERY_DEFS_r*.json"],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.split()
+    )
     for cf in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rno = int(cf.stem.split("r")[-1])
         df = REPO / f"QUERY_DEFS_r{rno:02d}.json"
         assert df.exists(), f"no defs snapshot for round {rno}"
+        if tracked:  # git available: demand the COMMITTED file
+            assert df.name in tracked, (
+                f"{df.name} exists locally but is not git-tracked — "
+                f"commit it (auto-written snapshots must not stay local)"
+            )
         defs = json.loads(df.read_text())
         missing = sorted(set(json.loads(cf.read_text())) - set(defs))
         assert not missing, f"round {rno} roster missing from defs: {missing}"

@@ -42,7 +42,12 @@ entry = {{**REGISTRY, **STAGED}}[name]
 spark = get_spark(app_name="cold-iso")
 spark.sparkContext.setLogLevel("ERROR")
 REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf).count()
-entry.fn(spark, "/root/testdata/sf0.001").count()
+# Codegen/JIT warmup at the smallest sibling scale of the measured
+# dir (sfX.Y -> sf0.001 next to it); fall back to the measured dir
+# itself when no such sibling exists (non-standard layouts).
+import os
+warm = os.path.join(os.path.dirname(sf.rstrip("/")), "sf0.001")
+entry.fn(spark, warm if os.path.isdir(warm) else sf).count()
 spark.catalog.clearCache()
 import gc; gc.collect()
 t0 = time.monotonic()
