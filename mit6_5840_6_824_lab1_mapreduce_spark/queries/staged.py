@@ -700,14 +700,11 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# r09 candidates, STAGED (same discipline as the r07→r08 batch: full
-# @query contract + battery, registered into registry.STAGED so the
-# saturated r08 window — 8 promotions + 20 changed rows + pins + the
-# r05 staleness cohort — is untouched; promotion in r09 is the
-# decorator flip once CORRECTNESS_r08.json frees seats).
+# r09 additions (staged in r08 under the same discipline as the
+# r07→r08 batch, PROMOTED in r09 once CORRECTNESS_r08.json landed
+# 50/50 green and freed the window — they seat first as
+# never-checked rows).
 # =====================================================================
-
-from .registry import staged_query  # noqa: E402
 from ..operators import similarity as _S  # noqa: E402
 from .similarity import _BUCKETS_SQL, _COS_SQL, _PLANES, _PLANES_VALUES, _QUANT_SQL  # noqa: E402
 from .decontam import HOLDOUT_MOD, _HITS_SQL  # noqa: E402
@@ -729,7 +726,7 @@ from .dedup import _SHINGLES_SQL  # noqa: E402
 # size. skew_factor = shard_tokens·n_shards/total (1.0 = perfectly
 # uniform); wide ratios because the numerator is a whole-corpus token
 # sum times shard count.
-@staged_query(
+@query(
     "corpus_shard_skew",
     oracle=rf"""
     WITH t AS (
@@ -801,7 +798,7 @@ def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_K = 200
 
 
-@staged_query(
+@query(
     "tokenizer_vocab_overlap",
     oracle=rf"""
     WITH tok AS (
@@ -906,7 +903,7 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the isolated count is a LEFT JOIN of the (already quantized) vector
 # ids against the degree table — shuffle keyed on vec_id, output
 # bounded by the distinct-degree count.
-@staged_query(
+@query(
     "similarity_graph_degree",
     oracle=rf"""
     WITH planes(p, d, w) AS (VALUES {_PLANES_VALUES}),
@@ -964,7 +961,7 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the boilerplate cap); the rollup is per-bench-doc (holdout-sized,
 # tiny); the gram-count side is an aggregate of the same shingle
 # table. LEFT JOINs keep clean items without a second corpus pass.
-@staged_query(
+@query(
     "decontam_bench_exposure",
     oracle=rf"""
     WITH {_SHINGLES_SQL},

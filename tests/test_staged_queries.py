@@ -391,9 +391,9 @@ def test_domain_cap_matches_python_replay(spark):
         assert sum(r.keep for r in grp) >= 1  # every host keeps >=1
 
 
-# ====================================================== r09 staged set
+# ============================================ r09 set (promoted r09)
 
-STAGED_R09 = [
+PROMOTED_R09 = [
     "corpus_shard_skew",
     "decontam_bench_exposure",
     "similarity_graph_degree",
@@ -401,32 +401,34 @@ STAGED_R09 = [
 ]
 
 
-def test_r09_staging_rules():
-    """The r09 candidates live in STAGED (not driver-visible), all
-    carry oracles, and never collide with registered names."""
-    assert sorted(STAGED) == STAGED_R09
-    assert all(STAGED[n].oracle for n in STAGED_R09)
-    assert not set(STAGED) & set(REGISTRY)
+def test_r09_promotion_complete():
+    """r09 flipped the four r08-staged decorators to @query: every
+    name is registered with an oracle, driver-visible, and STAGED is
+    empty (nothing lingers awaiting a window)."""
     import __spark_entry__ as entry
 
-    assert not set(STAGED) & set(entry.queries())
+    for name in PROMOTED_R09:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle, name
+        assert name in entry.queries(), name
+    assert STAGED == {}
 
 
-@pytest.mark.parametrize("name", STAGED_R09)
+@pytest.mark.parametrize("name", PROMOTED_R09)
 def test_r09_staged_parity_smoke(spark, name):
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, SF_SMOKE, name)
 
 
-@pytest.mark.parametrize("name", STAGED_R09)
+@pytest.mark.parametrize("name", PROMOTED_R09)
 def test_r09_staged_parity_correct_sf(spark, name):
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, SF_CORRECT, name)
 
 
-@pytest.mark.parametrize("name", STAGED_R09)
+@pytest.mark.parametrize("name", PROMOTED_R09)
 def test_r09_staged_degenerate_parity(spark, name, degen_dir):
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, degen_dir, name)
 
 
