@@ -1,0 +1,147 @@
+"""Distributed global ordering: rank / running-sum / ntile over a
+TOTAL order without an `Exchange SinglePartition`.
+
+`Window.orderBy(...)` with no `partitionBy` plans a single-partition
+exchange — one task sorts (and holds) the entire frame. Fine at
+sf0.1, fatal at 100 TB: a per-customer aggregate is ~1e9 rows there
+and a global vocabulary is larger still. This module restates the
+same computation as an order-preserving two-level decomposition:
+
+1. `repartitionByRange(n, *order)` splits the frame into `n`
+   CONTIGUOUS ranges of the total order (range partition p holds only
+   keys ≤ every key in partition p+1). `n` is passed explicitly, so
+   AQE never coalesces the exchange (REPARTITION_BY_NUM origin) and
+   `spark_partition_id()` is the range bucket id.
+2. A window PARTITIONED by that bucket id computes the local
+   row_number / running sums — n parallel sorts of ~1/n of the rows.
+3. Per-bucket counts/sums (≤ n rows after map-side combine) are
+   expanded into prefix offsets with an explode-over-`sequence(0,n-1)`
+   equi-join — n² tiny rows, a hash join, no window and no
+   nested-loop join anywhere in the helper.
+4. global rank = prefix_count(bucket) + local row_number, and the
+   same identity for running sums. Because the order is TOTAL (callers
+   must tie-break), the result is bit-identical to the global-window
+   form for ANY bucket boundary choice — range sampling, partition
+   count, and AQE decisions can move rows between buckets but never
+   change a row's global position, so the output is deterministic
+   across every perturbation axis the determinism sweep drives.
+
+Running sums must be exact types (decimal / integer): they are
+re-associated across buckets, which double addition would not
+survive bit-identically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_P2 = "__gr_p2"
+_CNT = "__gr_c"
+
+
+def with_global_order(
+    df: DataFrame,
+    order: Sequence[Column],
+    *,
+    rn: str | None = None,
+    running: Iterable[tuple[str, Column | str]] = (),
+    totals: Iterable[tuple[str, Column | str]] = (),
+    parts: int | None = None,
+) -> DataFrame:
+    """Attach global-order statistics to ``df`` without a
+    single-partition exchange.
+
+    ``order``     total-order sort expressions (callers MUST include a
+                  tie-break; with ties the row_number is as
+                  nondeterministic as the global-window form it
+                  replaces).
+    ``rn``        column name for the global row_number (1-based).
+    ``running``   (out_name, col) inclusive running sums over the
+                  order — exact (decimal/integer) types only.
+    ``totals``    (out_name, col) grand totals (whole-frame sums),
+                  attached to every row; use ``F.lit(1)`` for a count.
+    ``parts``     range-bucket count; defaults to
+                  ``spark.sql.shuffle.partitions``.
+    """
+    running = [(o, F.col(c) if isinstance(c, str) else c) for o, c in running]
+    totals = [(o, F.col(c) if isinstance(c, str) else c) for o, c in totals]
+    n = int(parts or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    d = df.repartitionByRange(n, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+    # Per-bucket counts and partial sums: ≤ n rows after the combine.
+    aggs = [F.count(F.lit(1)).alias(_CNT)]
+    aggs += [F.sum(c).alias(f"__gr_r{i}") for i, (_, c) in enumerate(running)]
+    aggs += [F.sum(c).alias(f"__gr_t{i}") for i, (_, c) in enumerate(totals)]
+    per_bucket = d.groupBy(_PID).agg(*aggs)
+
+    # Prefix offsets: every per-bucket row is fanned out to ALL bucket
+    # ids (sequence(0, n-1) is always ascending — n ≥ 1; never emit a
+    # start>stop sequence, Spark descends) and re-aggregated, keeping
+    # only strictly-earlier buckets in the prefix terms. n² tiny rows,
+    # plain hash aggregation + one broadcastable n-row result.
+    fan = per_bucket.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias(_P2), "*"
+    )
+    before = F.col(_PID) < F.col(_P2)
+    offaggs = [
+        F.coalesce(F.sum(F.when(before, F.col(_CNT))), F.lit(0)).alias("__gr_off")
+    ]
+    offaggs += [
+        F.coalesce(
+            F.sum(F.when(before, F.col(f"__gr_r{i}"))), F.lit(0)
+        ).alias(f"__gr_roff{i}")
+        for i in range(len(running))
+    ]
+    offaggs += [
+        F.sum(F.col(f"__gr_t{i}")).alias(f"__gr_tot{i}")
+        for i in range(len(totals))
+    ]
+    offsets = fan.groupBy(_P2).agg(*offaggs)
+
+    res = d.join(F.broadcast(offsets), F.col(_PID) == F.col(_P2), "inner")
+    w = Window.partitionBy(_PID).orderBy(*order)
+    if rn is not None:
+        res = res.withColumn(rn, F.col("__gr_off") + F.row_number().over(w))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    for i, (out, c) in enumerate(running):
+        res = res.withColumn(out, F.col(f"__gr_roff{i}") + F.sum(c).over(wrun))
+    for i, (out, _) in enumerate(totals):
+        res = res.withColumn(out, F.col(f"__gr_tot{i}"))
+
+    drop = [_PID, _P2, "__gr_off"]
+    drop += [f"__gr_roff{i}" for i in range(len(running))]
+    drop += [f"__gr_tot{i}" for i in range(len(totals))]
+    return res.drop(*drop)
+
+
+def ntile_from_rank(n: int, rn: str, total: str) -> Column:
+    """SQL-standard ``ntile(n)`` restated from a global row_number and
+    the row count — the scalable form of
+    ``F.ntile(n).over(Window.orderBy(...))``.
+
+    With c rows, ntile gives the first ``r = c % n`` buckets
+    ``q+1 = c div n + 1`` rows and the rest ``q``; the bucket of row
+    ``rn`` is therefore piecewise integer arithmetic — exact on both
+    engines, no floats. The ELSE branch is reachable only when
+    ``rn > r*(q+1)``, which requires ``q ≥ 1`` (when q = 0, r = c and
+    the first branch covers every row), so ``greatest(q, 1)`` never
+    changes a reachable result — it only keeps the dead branch from
+    tripping ANSI division-by-zero in non-lazy evaluators.
+    Property-tested against the closed-form definition and against
+    Spark's own ntile in tests/test_global_rank.py.
+    """
+    q = f"(({total}) div {n})"
+    r = f"(({total}) % {n})"
+    return F.expr(
+        f"CAST(CASE WHEN ({rn}) <= {r} * ({q} + 1)"
+        f" THEN (({rn}) - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + (({rn}) - {r} * ({q} + 1) - 1) div greatest({q}, 1) + 1"
+        f" END AS INT)"
+    )

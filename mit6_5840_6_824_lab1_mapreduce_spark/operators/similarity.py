@@ -118,9 +118,14 @@ def embedding_populated(col: Column | None = None) -> Column:
 
 # DuckDB twin of embedding_populated — spliced into every oracle CTE
 # that reads the raw embedding column for quantization (_QUANT_SQL,
-# embedding_norm_stats, embedding_quantize_int8); the oracle text is
-# byte-identical to the pre-splice literals, so def-hashes are
-# unchanged and the rule has exactly one definition per engine side.
+# embedding_norm_stats, embedding_quantize_int8). The named-constant
+# splice EMITS the same text as pasting this literal at each site, so
+# the rule has exactly one definition per engine side; note that
+# ADDING the rule (the r08 `WHERE {EMB_OK_SQL}` nulls fix) did change
+# every downstream oracle's emitted text and def-hash — those rows
+# were seat-planned into the r08 window intentionally (advisor r09:
+# don't read this constant as making oracle EDITS seat-free; only the
+# constant-vs-pasted-literal equivalence is free).
 EMB_OK_SQL = (
     "embedding IS NOT NULL AND NOT EXISTS "
     "(SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)"

@@ -25,6 +25,7 @@ class PlanAudit:
     has_cartesian: bool         # CartesianProduct anywhere
     has_pushed_filters: bool    # at least one non-empty PushedFilters on a scan
     top_k_only_sorts: bool      # every global sort is a TakeOrderedAndProject
+    n_single_partition_windows: int  # Exchange SinglePartition feeding a Window
 
     @property
     def python_free(self) -> bool:
@@ -43,6 +44,24 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     an action has run (AQE inserts codegen markers at execution — run
     `df.collect()` first if you need that field)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # A Window whose spec has no PARTITION BY requires all rows on one
+    # task: the planner inserts `Exchange SinglePartition` directly
+    # under the window's Sort. That plan shape dies at 100 TB unless
+    # the frame is bounded by construction (a k-row histogram, a
+    # sketch union) — operators/rank.py is the distributed restatement
+    # for data-sized frames, and tests/test_registry_plan_hygiene.py
+    # pins the registry-wide ban. Detected textually: a SinglePartition
+    # exchange with a Window within the three rendered lines above it
+    # (the consumer prints above its child; Window → Sort → Exchange).
+    # Global scalar aggregates also plan SinglePartition exchanges but
+    # sit under HashAggregate, not Window, so they don't match.
+    lines = plan.splitlines()
+    n_sp_windows = sum(
+        1
+        for i, ln in enumerate(lines)
+        if "Exchange SinglePartition" in ln
+        and any("Window" in prev for prev in lines[max(0, i - 3) : i])
+    )
     n_sorts = plan.count("Sort [")
     n_topk = plan.count("TakeOrderedAndProject")
     # Window operators legitimately sort within partitions; only count
@@ -75,4 +94,5 @@ def plan_audit(df: DataFrame) -> PlanAudit:
             m.group(1).strip() for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
         ),
         top_k_only_sorts=n_sorts <= n_topk + 2 * n_smj + n_window,
+        n_single_partition_windows=n_sp_windows,
     )

@@ -51,7 +51,15 @@ def _hits_and_shingles(
     """(hits, sh): the (bench, corpus, shared_grams) evidence table
     plus the persisted distinct (id, shingle) frame it was built from,
     so callers needing per-doc gram counts reuse the ONE tokenize/
-    shingle pass instead of scanning the corpus again."""
+    shingle pass instead of scanning the corpus again.
+
+    LIFETIME (advisor r09): `sh` stays persisted for the session —
+    deliberately. Callers return lazy DataFrames the DRIVER collects,
+    so there is no post-action point inside the query to unpersist
+    from; the driver/bench harnesses run `spark.catalog.clearCache()`
+    between queries, and a one-shot driver run exits anyway. A
+    long-lived embedding service should unpersist the second element
+    after its consuming action."""
     docs = table(spark, sf_dir, "documents")
     # Tokenize/shingle once for its three consumers (df count + both
     # join sides) — same persist pattern as the MinHash pipeline.

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import LETTER_SPLIT_RE
 from ..operators.dedup import gram_windows, tokens
+from ..operators.rank import with_global_order
 from ..plans import table
 from ._util import (
     det_round_spark,
@@ -406,11 +407,12 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum*100 >= total*pct; no float in the cut decision).
 
     Scale shape: the word-count aggregate is corpus-sized with
-    map-side combine; the ranking window then runs over the VOCABULARY
-    (sub-linear, ~millions of rows at 100 TB) — a deliberate single
-    partition over a table that fits one task by construction. The
-    four thresholds are conditional aggregates over the ranked vocab
-    (no join, no second pass), unpivoted with stack()."""
+    map-side combine; the rank + running sum over the VOCABULARY
+    (~10⁹ distinct tokens on a 100 TB web corpus — NOT one-task
+    material) is a distributed rank (operators/rank.py: range-bucketed
+    row_number + exact integer running sums, no single-partition
+    exchange). The four thresholds are conditional aggregates over the
+    ranked vocab (no join, no second pass), unpivoted with stack()."""
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select(
@@ -424,14 +426,13 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    w_order = Window.orderBy(F.col("cnt").desc(), "word")
-    w_all = Window.partitionBy()
-    ranked = wc.select(
-        "cnt",
-        F.row_number().over(w_order).alias("rn"),
-        F.sum("cnt").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("cnt").over(w_all).alias("total"),
-    )
+    ranked = with_global_order(
+        wc,
+        [F.desc("cnt"), F.asc("word")],
+        rn="rn",
+        running=[("cum", "cnt")],
+        totals=[("total", "cnt")],
+    ).select("cnt", "rn", "cum", "total")
     aggs = [F.first("total").alias("total")]
     for p in _COVERAGE_PCTS:
         hit = F.col("cum") * 100 >= F.col("total") * p
@@ -512,10 +513,11 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-source sketches are the bounded per-partition
     states a real cluster would ship to one reducer (k rows per
-    source); the merge is a window over n_sources*k rows — constant.
-    The exact count AND the direct-sketch arm (a window over the full
-    distinct hash set) exist only to grade the merge — a production
-    run ships the per-source sketches and nothing else."""
+    source); both k-th-hash arms are orderBy+limit(k) →
+    TakeOrderedAndProject (map-side partial top-k, never a global
+    sort — the direct arm's distinct hash set is corpus-sized). The
+    exact count AND the direct arm exist only to grade the merge — a
+    production run ships the per-source sketches and nothing else."""
     hashed = _shingle_set(spark, sf_dir).select(
         "source", "shingle", _h60(F.col("shingle")).alias("h")
     )
@@ -526,19 +528,23 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
         .distinct()
     )
-    w_h = Window.orderBy("h")
-    merged = (
-        sketches.withColumn("rn", F.row_number().over(w_h))
-        .where(F.col("rn") == _KMV_K)
-        .select(F.col("h").alias("kth_hash_merged"))
-    )
-    direct = (
-        hashed.select("h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(w_h))
-        .where(F.col("rn") == _KMV_K)
-        .select(F.col("h").alias("kth_hash_direct"))
-    )
+    # k-th smallest hash via orderBy+limit → TakeOrderedAndProject
+    # (map-side partial top-k, k-row merge) — the r08 form ranked the
+    # FULL distinct hash set through a single-partition window; the
+    # direct arm's distinct set is corpus-sized, so that was the
+    # worst plan in the tree. The count guard reproduces the old
+    # rn == K semantics exactly: fewer than K distinct hashes → no row.
+    def _kth_smallest(hashes: DataFrame, out: str) -> DataFrame:
+        return (
+            hashes.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias(out), F.count(F.lit(1)).alias("_ck"))
+            .where(F.col("_ck") == _KMV_K)
+            .drop("_ck")
+        )
+
+    merged = _kth_smallest(sketches, "kth_hash_merged")
+    direct = _kth_smallest(hashed.select("h").distinct(), "kth_hash_direct")
     exact = hashed.agg(
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("shingle").alias("n_exact"),
@@ -766,10 +772,12 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~6×10⁷·1.5×10⁵ ≈ 10¹³ ✓). Past that, promote the interpolation
     to DECIMAL(38,0) on both engines.
 
-    The order-statistic side funnels through a single-partition
-    row_number — that is the GRADING side only (the old double
-    `percentile` was equally a full-data global aggregate); a
-    production run keeps just the histogram cost."""
+    The order-statistic side is the GRADING arm only (a production
+    run keeps just the histogram cost) — but it ranks the full fact
+    table, so it runs as a distributed rank (operators/rank.py), not
+    the single-partition row_number it used through r08. The ~50-row
+    histogram cumsum window stays single-partition by design: its
+    frame is bounded by bit-width (≤ 64 buckets), not by data."""
     # r08 nulls contract: a NULL price has no magnitude — standard
     # percentile semantics exclude it on BOTH engines (the shared
     # pre-filter rule; without it the NULL bucket/rank sorts FIRST in
@@ -793,7 +801,12 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_prev", F.col("cum") - F.col("cnt")
     )
     tot = o.agg(F.count("*").alias("n"))
-    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("cents")))
+    # Exact order statistics need a global row numbering of the FULL
+    # fact table — the one frame here that is corpus-sized, so it uses
+    # the distributed rank (operators/rank.py), not a single-partition
+    # window. Ties on cents are harmless: the VALUE at a fixed global
+    # position is deterministic whatever order tied rows take.
+    ranked = with_global_order(o, [F.asc("cents")], rn="rn")
     targets = spark.createDataFrame(
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
         "qname string, num long, den long",

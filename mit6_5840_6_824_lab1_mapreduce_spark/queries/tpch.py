@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rank import ntile_from_rank, with_global_order
 from ..plans import table
 from ._util import MONEY, avg_of, disc_price, charge, exact_ratio_spark, exact_ratio_sql, exact_ratio_wide_spark, exact_ratio_wide_sql, sum_expr, sum_money, ts_str
 from .registry import query
@@ -313,15 +314,23 @@ def brand_quantity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window over a global ordering: customers ranked into
-    spend quartiles, then per-quartile totals. The tie-broken ORDER BY
-    makes ntile deterministic; the global sort is one row per
-    customer (already aggregated), so the single-partition window is
-    bounded at any scale."""
+    """Customers ranked into spend quartiles, then per-quartile
+    totals. The oracle's ntile window IS the spec; the Spark plan
+    restates it as a distributed rank (range-bucketed row_number +
+    prefix offsets, operators/rank.py) plus the exact SQL-standard
+    ntile formula — customer count grows linearly with the corpus, so
+    the r08-era `Window.orderBy` single-partition sort would funnel
+    every customer through one task at 100 TB. The tie-broken ORDER BY
+    keeps the rank (and thus ntile) deterministic."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(sum_money("o_totalprice", "total_spend"))
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    ranked = with_global_order(
+        spend,
+        [F.desc("total_spend"), F.asc("o_custkey")],
+        rn="rn",
+        totals=[("c", F.lit(1))],
+    )
+    q = ranked.withColumn("quartile", ntile_from_rank(4, "rn", "c"))
     return q.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         sum_money("total_spend", "quartile_spend"),
@@ -1400,56 +1409,49 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation —
     the classic lifecycle-marketing rollup: quartile each dimension
-    independently (tie-broken ntile → deterministic), then aggregate
-    customers per (R,F,M) cell. Recency anchors on the global max
-    order date, computed as a window over the per-customer aggregate
-    (one row per customer — the global windows here are bounded at
-    any scale, same contract as customer_spend_quartiles)."""
+    independently, then aggregate customers per (R,F,M) cell. The
+    oracle's three ntile windows are the spec; the Spark plan runs
+    three distributed ranks (operators/rank.py) + the exact ntile
+    formula — the per-customer frame is corpus-linear, so the r08-era
+    global windows were three single-partition sorts of every
+    customer. Recency anchors on the global max order date, a 1-row
+    scalar aggregate broadcast back onto the frame (BNLJ_ALLOWED).
+
+    r08 nulls contract class (b): EXPLICIT NULLS LAST on every
+    nullable sort key INCLUDING tie-breaks (o_custkey is itself
+    nullable) — Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST;
+    unknown recency/frequency/monetary ranks worst, the standard
+    RFM treatment. The oracle spells the same NULLS LAST."""
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         sum_money("o_totalprice", "monetary"),
     )
-    w_all = Window.partitionBy()
-    cust = cust.withColumn(
-        "recency_days",
-        F.datediff(F.max("last_order").over(w_all), F.col("last_order")),
-    )
-    # r08 nulls contract class (b): EXPLICIT NULLS LAST on every
-    # nullable sort key INCLUDING tie-breaks (o_custkey is itself
-    # nullable) — Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST;
-    # unknown recency/frequency/monetary ranks worst, the standard
-    # RFM treatment. The oracle spells the same NULLS LAST.
-    scored = (
-        cust.withColumn(
-            "r_q",
-            F.ntile(4).over(
-                Window.orderBy(
-                    F.asc_nulls_last("recency_days"),
-                    F.asc_nulls_last("o_custkey"),
-                )
-            ),
-        )
+    anchor = cust.agg(F.max("last_order").alias("_max_last"))
+    cust = (
+        cust.crossJoin(F.broadcast(anchor))
         .withColumn(
-            "f_q",
-            F.ntile(4).over(
-                Window.orderBy(
-                    F.desc_nulls_last("frequency"),
-                    F.asc_nulls_last("o_custkey"),
-                )
-            ),
+            "recency_days", F.datediff(F.col("_max_last"), F.col("last_order"))
         )
-        .withColumn(
-            "m_q",
-            F.ntile(4).over(
-                Window.orderBy(
-                    F.desc_nulls_last("monetary"),
-                    F.asc_nulls_last("o_custkey"),
-                )
-            ),
-        )
+        .drop("_max_last")
     )
+    scored = with_global_order(
+        cust,
+        [F.asc_nulls_last("recency_days"), F.asc_nulls_last("o_custkey")],
+        rn="_rrn",
+        totals=[("_c", F.lit(1))],
+    ).withColumn("r_q", ntile_from_rank(4, "_rrn", "_c"))
+    scored = with_global_order(
+        scored,
+        [F.desc_nulls_last("frequency"), F.asc_nulls_last("o_custkey")],
+        rn="_frn",
+    ).withColumn("f_q", ntile_from_rank(4, "_frn", "_c"))
+    scored = with_global_order(
+        scored,
+        [F.desc_nulls_last("monetary"), F.asc_nulls_last("o_custkey")],
+        rn="_mrn",
+    ).withColumn("m_q", ntile_from_rank(4, "_mrn", "_c"))
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),
         sum_money("monetary", "segment_monetary"),
@@ -1568,22 +1570,23 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: what share of total revenue do the top
     1/5/10/20% of customers produce — the 80/20 report every revenue
     dashboard opens with. Thresholds are integer-exact
-    (rn*100 <= n*pct); the ranking window runs over the per-customer
-    aggregate (one row per customer, bounded); the four cuts are
+    (rn*100 <= n*pct); the oracle's ranking/running-sum windows are
+    the spec, restated as ONE distributed rank pass
+    (operators/rank.py: range-bucketed row_number + exact decimal
+    running sums + grand totals, no single-partition exchange — the
+    per-customer frame is corpus-linear); the four cuts are
     conditional aggregates over the ranked rows, no join."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(MONEY)).alias("s")
     )
-    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
-    w_all = Window.partitionBy()
-    ranked = spend.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(w_all).alias("n_cust"),
-        F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("s").over(w_all).alias("total"),
-    )
+    ranked = with_global_order(
+        spend,
+        [F.desc("s"), F.asc("o_custkey")],
+        rn="rn",
+        running=[("cum", "s")],
+        totals=[("n_cust", F.lit(1)), ("total", "s")],
+    ).select("s", "rn", "n_cust", "cum", "total")
     pcts = F.array([F.lit(p) for p in (1, 5, 10, 20)])
     hits = ranked.select(
         "rn", "cum", "total", F.explode(pcts).alias("top_pct")

@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import pathlib
 
+import pytest
+
 import __spark_entry__ as entry
 
 WINDOW = 50
@@ -60,6 +62,57 @@ def test_never_checked_queries_are_seated():
     assert len(unseated) <= overflow_budget, (
         f"never-driver-checked queries left outside the {WINDOW}-seat "
         f"window with seats available: {unseated}"
+    )
+
+
+# With 155 registered and a 50-seat window (minus pins / promotions /
+# changed rows), the steady-state rotation re-confirms every row every
+# ~3-4 rounds. These two bounds turn that arithmetic into an invariant
+# so a seat-ordering bug that silently starves a row fails loudly
+# instead of aging it forever (r08 verdict, residual #2).
+MAX_CONFIRMATION_AGE = 5  # hard cap: no row's green proof older than this
+MAX_UNSEATED_AGE = 4  # rows this old MUST hold a seat this round
+
+
+def test_no_row_ages_past_the_staleness_cap():
+    """Every registered query with a driver confirmation must have
+    been re-confirmed within MAX_CONFIRMATION_AGE rounds. Firing also
+    doubles as the registration-budget alarm: if a changed-row burst
+    starves the stale rotation for this long, registry growth has
+    outrun the window."""
+    last = entry._last_checked_round()
+    if not last:
+        return  # no driver rounds recorded yet
+    nxt = entry._next_round()
+    ancient = {
+        n: last[n]
+        for n in entry.queries()
+        if n in last and nxt - last[n] > MAX_CONFIRMATION_AGE
+    }
+    assert not ancient, (
+        f"rows whose last driver confirmation is older than "
+        f"{MAX_CONFIRMATION_AGE} rounds (next round = r{nxt:02d}): {ancient}"
+    )
+
+
+def test_oldest_cohort_is_fully_seated():
+    """Proactive half of the cap: any row already MAX_UNSEATED_AGE
+    rounds stale must be inside the current window, so it gets
+    re-confirmed BEFORE it can breach the hard cap above."""
+    last = entry._last_checked_round()
+    if not last:
+        return
+    nxt = entry._next_round()
+    window = set(entry._PRIORITY)
+    starving = {
+        n: last[n]
+        for n in entry.queries()
+        if n in last and nxt - last[n] >= MAX_UNSEATED_AGE and n not in window
+    }
+    assert not starving, (
+        f"rows {MAX_UNSEATED_AGE}+ rounds stale left outside the window "
+        f"(they would breach the r{MAX_CONFIRMATION_AGE}-round cap next "
+        f"round): {starving}"
     )
 
 
@@ -171,21 +224,28 @@ def test_defs_snapshots_cover_their_rounds_rosters():
     freshly auto-written next-round file stays exempt."""
     import subprocess
 
-    tracked = set(
-        subprocess.run(
-            ["git", "ls-files", "QUERY_DEFS_r*.json"],
-            cwd=REPO, capture_output=True, text=True,
-        ).stdout.split()
+    # Distinguish "git unavailable" (skip the tracking check, loudly)
+    # from "zero tracked snapshots" (a real failure: every confirmed
+    # round's snapshot must be committed) — keying on empty stdout
+    # alone silently downgraded the check when the command failed
+    # (advisor r08).
+    proc = subprocess.run(
+        ["git", "ls-files", "QUERY_DEFS_r*.json"],
+        cwd=REPO, capture_output=True, text=True,
     )
-    for cf in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    git_ok = proc.returncode == 0
+    tracked = set(proc.stdout.split()) if git_ok else set()
+    confirmed = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not git_ok and confirmed:
+        pytest.skip(f"git ls-files unavailable: {proc.stderr.strip()[:120]}")
+    for cf in confirmed:
         rno = int(cf.stem.split("r")[-1])
         df = REPO / f"QUERY_DEFS_r{rno:02d}.json"
         assert df.exists(), f"no defs snapshot for round {rno}"
-        if tracked:  # git available: demand the COMMITTED file
-            assert df.name in tracked, (
-                f"{df.name} exists locally but is not git-tracked — "
-                f"commit it (auto-written snapshots must not stay local)"
-            )
+        assert df.name in tracked, (
+            f"{df.name} exists locally but is not git-tracked — "
+            f"commit it (auto-written snapshots must not stay local)"
+        )
         defs = json.loads(df.read_text())
         missing = sorted(set(json.loads(cf.read_text())) - set(defs))
         assert not missing, f"round {rno} roster missing from defs: {missing}"

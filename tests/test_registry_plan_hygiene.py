@@ -57,6 +57,26 @@ BNLJ_ALLOWED = {
     "sketch_histogram_quantiles",  # ~50-row histogram + 1-row stats broadcasts
     "corpus_shard_skew",  # PACK_SHARDS-row totals: 1-row broadcast
     "tokenizer_vocab_overlap",  # source-pair frame: |sources|-row broadcast
+    "customer_rfm_segments",  # global max order date: 1-row broadcast
+}
+
+# A Window with no PARTITION BY plans `Exchange SinglePartition` —
+# one task sorts (and holds) the whole frame. Sanctioned ONLY where
+# the frame is bounded by CONSTRUCTION (not merely small at test
+# scale): data-sized frames must use the distributed rank in
+# operators/rank.py (the r09 fix for the customer-ntile /
+# vocab-cumsum / kmv / exact-rank family — this assertion is what
+# would have caught that family at registration time).
+GLOBAL_WINDOW_ALLOWED = {
+    # ≤64-row power-of-two histogram cumsum: frame bounded by the
+    # bit width of a long, never by the data.
+    "sketch_histogram_quantiles",
+    # Per-source aggregate frames: one row per corpus source — a
+    # bounded catalog dimension (the mixture/temperature tables a
+    # training run is configured from), not a data-sized set.
+    "corpus_mixture_plan",
+    "corpus_sample_temperature",
+    "corpus_source_mix",
 }
 
 # Staged queries are audited BEFORE promotion, same as the sweeps.
@@ -76,3 +96,10 @@ def test_plan_is_scale_clean(spark, name):
         assert audit.n_python_stages > 0, f"{name}: expected an Arrow Python stage"
     else:
         assert audit.python_free, f"{name}: unexpected Python stage"
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        assert audit.n_single_partition_windows == 0, (
+            f"{name}: single-partition window over a data-sized frame —"
+            " use operators/rank.with_global_order, or add a"
+            " GLOBAL_WINDOW_ALLOWED entry with a bounded-frame"
+            " justification"
+        )
