@@ -52,7 +52,11 @@ BUDGETS = {
     "corpus_leakage_safe_split": 2,  # CC output is checkpointed upstream
     "corpus_semantic_mixture": 7,
     "embedding_cluster_sample": 6,
-    "sketch_histogram_quantiles": 5,
+    # r09: the exact-rank grading arm moved from a single-partition
+    # window (1 exchange, 1 task sorts the fact table) to the
+    # distributed rank (range bucket + per-bucket window + offsets —
+    # more boundaries, all parallel and slim). Raised deliberately.
+    "sketch_histogram_quantiles": 11,
     "tokenizer_bpe_segment": 3,
 }
 
