@@ -71,8 +71,25 @@ def with_global_order(
     totals = [(o, F.col(c) if isinstance(c, str) else c) for o, c in totals]
     n = int(parts or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    d = df.repartitionByRange(n, *order).withColumn(
-        _PID, F.spark_partition_id()
+    # PERSIST is load-bearing, not a cache hint: the bucketed frame
+    # has two consumers (per-bucket stats and the main join), and the
+    # bucket id comes from spark_partition_id(). If the planner ever
+    # fails to reuse the range exchange between the two subplan
+    # copies (observed: AQE off + autoBroadcastJoinThreshold=-1 on a
+    # CHAINED helper — the determinism sweep caught customer_rfm_
+    # segments diverging), each copy instantiates its own
+    # RangePartitioner whose boundary SAMPLE can differ, so the two
+    # paths disagree on which rows are in which bucket and the prefix
+    # offsets are wrong. Persisting pins ONE RDD instance — one
+    # partitioner, one pid assignment — for every consumer under any
+    # config. Lifetime follows the decontam precedent: the driver
+    # collects the lazy result, the harnesses clearCache between
+    # queries. The cached frame is the slim rank INPUT (an aggregate
+    # or a single column), never the corpus.
+    d = (
+        df.repartitionByRange(n, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
     )
 
     # Per-bucket counts and partial sums: ≤ n rows after the combine.

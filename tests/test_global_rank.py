@@ -141,3 +141,43 @@ def test_ntile_expr_matches_spark_ntile(spark, frame):
     ]
     row = df.agg(*checks).collect()[0]
     assert all(row[f"bad{n}"] == 0 for n in (2, 4, 7, 13)), row
+
+
+def test_chained_ranks_stable_without_aqe_or_broadcast(spark, frame):
+    """Regression pin for the r09 determinism-sweep catch: CHAINED
+    helper calls diverged under aqe=false + autoBroadcastJoinThreshold
+    =-1 — without exchange reuse, the two subplan copies of a range
+    exchange each instantiate their own RangePartitioner, whose
+    boundary samples can differ, de-synchronizing spark_partition_id
+    between the offsets path and the main path. The load-bearing
+    persist() in with_global_order pins one RDD instance (one
+    partitioner) for every consumer; this test replays the rfm shape
+    (two chained ranks over different orders) at the failing config
+    and demands bit-equality with the global-window reference."""
+    w1 = Window.orderBy(*_order())
+    w2 = Window.orderBy(F.asc("v"), F.asc("id"))
+    ref = (
+        frame.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .select("id", "r1", "r2")
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()
+        got = with_global_order(
+            with_global_order(frame, _order(), rn="r1"),
+            [F.asc("v"), F.asc("id")],
+            rn="r2",
+        ).select("id", "r1", "r2")
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.catalog.clearCache()

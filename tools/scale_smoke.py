@@ -84,6 +84,15 @@ QUERIES = [
     # replication again makes candidate density harsher than natural
     # growth.
     "similarity_graph_degree",
+    # Round-9: the distributed-rank family (operators/rank.py replaced
+    # the single-partition windows). vocab_coverage_topk ranks the
+    # corpus vocabulary (the largest rank frame in the tree);
+    # customer_rfm_segments chains THREE ranks over the per-customer
+    # aggregate — the worst-case helper composition. Both must grow
+    # ~linearly: the rank is two slim shuffles per order, never a
+    # single-task sort.
+    "vocab_coverage_topk",
+    "customer_rfm_segments",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
