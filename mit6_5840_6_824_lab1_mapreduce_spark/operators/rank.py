@@ -17,7 +17,9 @@ same computation as an order-preserving two-level decomposition:
 3. Per-bucket counts/sums (≤ n rows after map-side combine) are
    expanded into prefix offsets with an explode-over-`sequence(0,n-1)`
    equi-join — n² tiny rows, a hash join, no window and no
-   nested-loop join anywhere in the helper.
+   nested-loop join anywhere in the helper. n² is kept harmless by
+   capping the DEFAULT n at `_MAX_DEFAULT_PARTS` (4096 → ≤1.7×10⁷
+   fan rows); n sizes the per-bucket local sort, not the data.
 4. global rank = prefix_count(bucket) + local row_number, and the
    same identity for running sums. Because the order is TOTAL (callers
    must tie-break), the result is bit-identical to the global-window
@@ -42,6 +44,18 @@ _PID = "__gr_pid"
 _P2 = "__gr_p2"
 _CNT = "__gr_c"
 
+# Default range-bucket ceiling. The prefix-offset fan-out is n² tiny
+# rows, so n inherited from spark.sql.shuffle.partitions must not
+# silently follow a 100 TB cluster config into the 10⁵ range (10¹⁰
+# fan rows). n is a TASK-SIZING knob, not a data knob: each bucket
+# locally sorts ~rows/n, so n=4096 puts a 10⁹-row frame at ~250k rows
+# per task (comfortable) while the fan-out stays ≤ 4096² ≈ 1.7×10⁷
+# rows — trivial for a hash aggregate. Callers with a bigger frame
+# pass ``parts`` explicitly (uncapped, deliberate override). Capping
+# is result-neutral: the output is bit-identical for ANY bucket count
+# (see module docstring invariant 4).
+_MAX_DEFAULT_PARTS = 4096
+
 
 def with_global_order(
     df: DataFrame,
@@ -65,11 +79,17 @@ def with_global_order(
     ``totals``    (out_name, col) grand totals (whole-frame sums),
                   attached to every row; use ``F.lit(1)`` for a count.
     ``parts``     range-bucket count; defaults to
-                  ``spark.sql.shuffle.partitions``.
+                  ``spark.sql.shuffle.partitions`` capped at
+                  ``_MAX_DEFAULT_PARTS`` (the n² offset fan-out must
+                  not track a large cluster's partition config —
+                  explicit ``parts`` is never capped).
     """
     running = [(o, F.col(c) if isinstance(c, str) else c) for o, c in running]
     totals = [(o, F.col(c) if isinstance(c, str) else c) for o, c in totals]
-    n = int(parts or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = int(parts) if parts else min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        _MAX_DEFAULT_PARTS,
+    )
 
     # PERSIST is load-bearing, not a cache hint: the bucketed frame
     # has two consumers (per-bucket stats and the main join), and the

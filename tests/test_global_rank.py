@@ -181,3 +181,40 @@ def test_chained_ranks_stable_without_aqe_or_broadcast(spark, frame):
         for k, v in saved.items():
             spark.conf.set(k, v)
         spark.catalog.clearCache()
+
+
+def test_default_parts_capped_against_cluster_configs(spark, frame):
+    """The offsets fan-out is n² rows in the bucket count, so the
+    DEFAULT n must not track a large cluster's
+    spark.sql.shuffle.partitions (10⁵ partitions → 10¹⁰ fan rows).
+    Pin: config above the cap → plan buckets at _MAX_DEFAULT_PARTS;
+    explicit ``parts`` is a deliberate override and stays uncapped.
+    The cap is result-neutral (bit-identity holds for any bucketing —
+    test_matches_global_window_exactly), so only the plan is checked."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.rank import (
+        _MAX_DEFAULT_PARTS,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(_MAX_DEFAULT_PARTS * 2))
+        capped = with_global_order(frame, _order(), rn="rn")
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        # Only the RANGE exchange carries the bucket count; other
+        # exchanges in the same plan legitimately use the session's
+        # (uncapped) shuffle partition config.
+        rp = [ln for ln in plan.splitlines() if "rangepartitioning" in ln.lower()]
+        assert rp, "no range exchange in the distributed-rank plan"
+        assert all(str(_MAX_DEFAULT_PARTS) in ln for ln in rp), (
+            f"default bucket count did not cap at {_MAX_DEFAULT_PARTS}: {rp}"
+        )
+        explicit = with_global_order(frame, _order(), rn="rn", parts=5000)
+        eplan = explicit._jdf.queryExecution().executedPlan().toString()
+        erp = [ln for ln in eplan.splitlines() if "rangepartitioning" in ln.lower()]
+        assert erp and all("5000" in ln for ln in erp), (
+            "explicit parts must never be capped"
+        )
+    finally:
+        spark.conf.set(key, saved)
+        spark.catalog.clearCache()
