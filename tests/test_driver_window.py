@@ -409,3 +409,19 @@ def test_pin_release_valve_seats_stale_rows():
             f"needy rows unseated while releasable pins remain: "
             f"{needy_out} vs {releasable}"
         )
+
+
+def test_seat_plan_tool_bounds_match():
+    """tools/seat_plan.py carries pinned copies of the staleness
+    bounds this module defines (the tool must not import test
+    modules); the copies must agree or the tool's BREACHED verdicts
+    drift from what CI actually enforces."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "seat_plan", REPO / "tools" / "seat_plan.py"
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    assert tool.MAX_CONFIRMATION_AGE == MAX_CONFIRMATION_AGE
+    assert tool.MAX_UNSEATED_AGE == MAX_UNSEATED_AGE
