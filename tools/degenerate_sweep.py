@@ -544,12 +544,17 @@ def write_fixture(out_dir: str, kind: str) -> str:
     return out_dir
 
 
-def sweep(fixtures: list[str]) -> int:
+def sweep(fixtures: list[str], only: list[str] | None = None) -> int:
     from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY, STAGED
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
     from tests.oracle_check import compare_query
 
     audited = {**REGISTRY, **STAGED}  # staged r08 candidates swept too
+    if only:
+        unknown = sorted(set(only) - set(audited))
+        if unknown:
+            raise SystemExit(f"--only names not registered/staged: {unknown}")
+        audited = {n: audited[n] for n in only}
 
     spark = get_spark(app_name="degenerate-sweep", master="local[8]", shuffle_partitions=8)
     results: list[tuple[str, str, str, str]] = []
@@ -621,7 +626,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="all",
                     choices=["empty", "minimal", "nulls", "unicode", "timewarp", "clique", "all"])
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: sweep just these (targeted "
+        "re-run after a small edit batch; the round-close "
+        "certification must still be the FULL sweep)",
+    )
     a = ap.parse_args()
     fixtures = (["empty", "minimal", "nulls", "unicode", "timewarp", "clique"]
                 if a.fixture == "all" else [a.fixture])
-    sys.exit(0 if sweep(fixtures) == 0 else 1)
+    only = [n for n in a.only.split(",") if n]
+    sys.exit(0 if sweep(fixtures, only or None) == 0 else 1)

@@ -81,6 +81,13 @@ def result_hash(pdf) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: sweep just these (targeted "
+        "re-run after a small edit batch; the round-close "
+        "certification must still be the FULL sweep)",
+    )
     a = ap.parse_args()
     perturbed = PERTURBED[:1] if a.quick else PERTURBED
 
@@ -88,6 +95,12 @@ def main() -> int:
     from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
 
     audited = {**REGISTRY, **STAGED}  # staged r08 candidates swept too
+    if a.only:
+        only = [n for n in a.only.split(",") if n]
+        unknown = sorted(set(only) - set(audited))
+        if unknown:
+            ap.error(f"--only names not registered/staged: {unknown}")
+        audited = {n: audited[n] for n in only}
 
     spark = get_spark(
         app_name="determinism-sweep", master="local[8]", shuffle_partitions=8
