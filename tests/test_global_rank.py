@@ -218,3 +218,26 @@ def test_default_parts_capped_against_cluster_configs(spark, frame):
     finally:
         spark.conf.set(key, saved)
         spark.catalog.clearCache()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from([None, 1, 2, 5]), st.integers(0, 9)),
+        max_size=24,
+    ),
+    parts=st.sampled_from([1, 7, 64]),
+)
+def test_tiny_frames_match_window_form(spark, rows, parts):
+    """Frames SMALLER than the bucket count (empty range buckets —
+    most pids get offset rows but no data rows), single rows, and
+    all-ties frames must still be bit-identical to the window form.
+    The 5000-row battery never exercises buckets > rows; this pins
+    that regime (plus c=0..24 against parts up to 64)."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)] or [],
+        "id long, k int, v long",
+    )
+    ref = {tuple(r) for r in _reference(df).collect()}
+    got = {tuple(r) for r in _distributed(df, parts).collect()}
+    assert got == ref
