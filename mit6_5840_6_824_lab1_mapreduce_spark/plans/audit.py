@@ -45,23 +45,51 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     `df.collect()` first if you need that field)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     # A Window whose spec has no PARTITION BY requires all rows on one
-    # task: the planner inserts `Exchange SinglePartition` directly
-    # under the window's Sort. That plan shape dies at 100 TB unless
-    # the frame is bounded by construction (a k-row histogram, a
-    # sketch union) — operators/rank.py is the distributed restatement
-    # for data-sized frames, and tests/test_registry_plan_hygiene.py
-    # pins the registry-wide ban. Detected textually: a SinglePartition
-    # exchange with a Window within the three rendered lines above it
-    # (the consumer prints above its child; Window → Sort → Exchange).
-    # Global scalar aggregates also plan SinglePartition exchanges but
-    # sit under HashAggregate, not Window, so they don't match.
-    lines = plan.splitlines()
-    n_sp_windows = sum(
-        1
-        for i, ln in enumerate(lines)
-        if "Exchange SinglePartition" in ln
-        and any("Window" in prev for prev in lines[max(0, i - 3) : i])
-    )
+    # task. That plan shape dies at 100 TB unless the frame is bounded
+    # by construction (a k-row histogram, a sketch union) —
+    # operators/rank.py is the distributed restatement for data-sized
+    # frames, and tests/test_registry_plan_hygiene.py pins the
+    # registry-wide ban. Detected from the Window node's OWN render,
+    # not the exchange below it (review r09: the planner omits the
+    # `Exchange SinglePartition` when the child already satisfies
+    # single-partition distribution — coalesce(1), a top-k child, the
+    # second of two chained global windows — which the old
+    # adjacent-lines heuristic missed). Physical WindowExec prints
+    #   Window [exprs], [partition cols], [order cols]   (partitioned)
+    #   Window [exprs], [order cols]                     (global)
+    #   Window [exprs]                                   (global, no order)
+    # and a PARTITIONED window with no ORDER BY also prints two groups
+    #   Window [exprs], [partition cols]
+    # — distinguished because an order spec renders sort directions
+    # (" ASC"/" DESC") and a partition column list never does. So a
+    # global window is: one group, or two groups whose second is an
+    # order spec. Brackets nest inside exprs — count top-level groups,
+    # don't split on commas. WindowGroupLimit/WindowInPandas are
+    # different node names and excluded by the exact node-name match.
+    def _top_level_groups(s: str) -> list[str]:
+        depth = 0
+        groups: list[str] = []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth = max(0, depth - 1)
+            elif depth > 0:
+                groups[-1] += ch
+        return groups
+
+    n_sp_windows = 0
+    for ln in plan.splitlines():
+        head, sep, rest = ln.partition("Window [")
+        # head must be pure tree art — an exact node-name match.
+        if sep and head.strip("+-: |*()0123456789") == "":
+            gs = _top_level_groups("[" + rest)
+            if len(gs) == 1 or (
+                len(gs) == 2 and (" ASC" in gs[1] or " DESC" in gs[1])
+            ):
+                n_sp_windows += 1
     n_sorts = plan.count("Sort [")
     n_topk = plan.count("TakeOrderedAndProject")
     # Window operators legitimately sort within partitions; only count

@@ -236,19 +236,26 @@ def test_defs_snapshots_cover_their_rounds_rosters():
     git_ok = proc.returncode == 0
     tracked = set(proc.stdout.split()) if git_ok else set()
     confirmed = sorted(REPO.glob("CORRECTNESS_r*.json"))
-    if not git_ok and confirmed:
-        pytest.skip(f"git ls-files unavailable: {proc.stderr.strip()[:120]}")
     for cf in confirmed:
         rno = int(cf.stem.split("r")[-1])
         df = REPO / f"QUERY_DEFS_r{rno:02d}.json"
         assert df.exists(), f"no defs snapshot for round {rno}"
-        assert df.name in tracked, (
-            f"{df.name} exists locally but is not git-tracked — "
-            f"commit it (auto-written snapshots must not stay local)"
-        )
+        if git_ok:
+            assert df.name in tracked, (
+                f"{df.name} exists locally but is not git-tracked — "
+                f"commit it (auto-written snapshots must not stay local)"
+            )
         defs = json.loads(df.read_text())
         missing = sorted(set(json.loads(cf.read_text())) - set(defs))
         assert not missing, f"round {rno} roster missing from defs: {missing}"
+    # Skip LAST (review r09): the existence and roster-coverage
+    # assertions above are git-independent and must run even in an
+    # exported tree; only the tracked-in-git check is waived, loudly.
+    if not git_ok and confirmed:
+        pytest.skip(
+            "git ls-files unavailable — tracked-snapshot check waived "
+            f"(existence/coverage asserted): {proc.stderr.strip()[:120]}"
+        )
 
 
 def _order(names, last, changed, pinned, floor=entry._PIN_FLOOR):

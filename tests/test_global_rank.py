@@ -241,3 +241,37 @@ def test_tiny_frames_match_window_form(spark, rows, parts):
     ref = {tuple(r) for r in _reference(df).collect()}
     got = {tuple(r) for r in _distributed(df, parts).collect()}
     assert got == ref
+
+
+def test_detector_catches_exchange_free_global_windows(spark, frame):
+    """Review r09: the original detector required an adjacent
+    `Exchange SinglePartition`, which the planner OMITS when the
+    window's child already satisfies single-partition distribution —
+    so the hygiene gate could be bypassed. The detector now reads the
+    Window node's own render; pin the three bypass shapes plus the
+    two-bracket false-positive class it must NOT flag (a partitioned
+    window with no ORDER BY also prints two bracket groups)."""
+    small = frame.limit(50)
+    over_coalesce = small.coalesce(1).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    over_topk = (
+        small.orderBy("id").limit(5)
+        .withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    chained = small.withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    ).withColumn("s", F.row_number().over(Window.orderBy(F.desc("id"))))
+    whole_frame_agg = small.withColumn(
+        "t", F.sum("v").over(Window.partitionBy())
+    )
+    assert plan_audit(over_coalesce).n_single_partition_windows == 1
+    assert plan_audit(over_topk).n_single_partition_windows == 1
+    assert plan_audit(chained).n_single_partition_windows == 2
+    assert plan_audit(whole_frame_agg).n_single_partition_windows == 1
+    # Partitioned, unordered window (Window [exprs], [partition]) —
+    # two bracket groups but NOT a global window.
+    part_no_order = small.withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    )
+    assert plan_audit(part_no_order).n_single_partition_windows == 0

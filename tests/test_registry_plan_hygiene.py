@@ -77,6 +77,15 @@ GLOBAL_WINDOW_ALLOWED = {
     "corpus_mixture_plan",
     "corpus_sample_temperature",
     "corpus_source_mix",
+    # row_number over a `.limit(100)` child (TakeOrderedAndProject
+    # top-k): 100 rows by construction. Caught once the detector
+    # started reading the Window node itself instead of requiring an
+    # adjacent SinglePartition exchange (the top-k child already
+    # satisfies the distribution, so no exchange is planned).
+    "corpus_bigram_lm_counts",
+    # first_value over the 4-row funnel-step table — bounded by the
+    # funnel definition (one row per step), never by the data.
+    "events_funnel_conversion",
 }
 
 # Staged queries are audited BEFORE promotion, same as the sweeps.

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 
 
 def _canary_floor(doc: dict) -> float | None:
@@ -77,7 +78,7 @@ def main() -> None:
           + (f" raw ({sum(new[k] for k in both) / mf:.1f}s normalized)"
              if mf != 1.0 else ""))
     rows = [(k, old[k], new[k], new[k] / old[k] / mf) for k in both if old[k] > 0]
-    med = sorted(r[3] for r in rows)[len(rows) // 2] if rows else float("nan")
+    med = statistics.median(r[3] for r in rows) if rows else float("nan")
     print(f"median per-query ratio: {med:.3f}")
     regs = sorted((r for r in rows if r[3] >= thr), key=lambda r: -r[3])
     imps = sorted((r for r in rows if r[3] <= 1 / thr), key=lambda r: r[3])

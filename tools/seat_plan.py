@@ -79,7 +79,6 @@ def main() -> None:
         default="",
         help="comma-separated query names to treat as def-hash-changed",
     )
-    p.add_argument("--quiet", action="store_true", help="summary lines only")
     ns = p.parse_args()
 
     import __spark_entry__ as entry
