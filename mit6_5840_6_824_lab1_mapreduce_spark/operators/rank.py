@@ -57,6 +57,21 @@ _CNT = "__gr_c"
 _MAX_DEFAULT_PARTS = 4096
 
 
+def _default_bucket_count(spark) -> int:
+    """Default range-bucket count when the caller passes no ``parts``.
+
+    ``spark.sql.shuffle.partitions`` may be non-numeric ("auto" under
+    some AQE setups) — fall back to the cluster's default parallelism
+    rather than throwing from inside a query plan. Always capped at
+    ``_MAX_DEFAULT_PARTS`` (the n² offset fan-out must not track a
+    large cluster's partition config)."""
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_parts = spark.sparkContext.defaultParallelism
+    return max(1, min(conf_parts, _MAX_DEFAULT_PARTS))
+
+
 def with_global_order(
     df: DataFrame,
     order: Sequence[Column],
@@ -86,10 +101,14 @@ def with_global_order(
     """
     running = [(o, F.col(c) if isinstance(c, str) else c) for o, c in running]
     totals = [(o, F.col(c) if isinstance(c, str) else c) for o, c in totals]
-    n = int(parts) if parts else min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        _MAX_DEFAULT_PARTS,
-    )
+    if parts is not None:
+        n = int(parts)
+        if n < 1:
+            raise ValueError(
+                f"with_global_order: parts must be >= 1, got {parts!r}"
+            )
+    else:
+        n = _default_bucket_count(df.sparkSession)
 
     # PERSIST is load-bearing, not a cache hint: the bucketed frame
     # has two consumers (per-bucket stats and the main join), and the

@@ -275,3 +275,47 @@ def test_detector_catches_exchange_free_global_windows(spark, frame):
         "n", F.count("*").over(Window.partitionBy("k"))
     )
     assert plan_audit(part_no_order).n_single_partition_windows == 0
+
+
+def test_parts_validation_and_non_integer_config_fallback(spark, frame):
+    """Config-read hardening (r09 verdict watch item): parts=0 /
+    negative must raise — NOT be silently treated as "unset" — and a
+    non-integer spark.sql.shuffle.partitions (e.g. "auto" under some
+    AQE setups) must fall back to defaultParallelism capped at
+    _MAX_DEFAULT_PARTS instead of throwing mid-plan."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.rank import (
+        _MAX_DEFAULT_PARTS,
+    )
+
+    from types import SimpleNamespace
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.rank import (
+        _default_bucket_count,
+    )
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="parts must be >= 1"):
+            with_global_order(frame, _order(), rn="rn", parts=bad)
+
+    # Spark 4 validates conf.set eagerly, so the "auto" scenario can't
+    # be injected into a live session — unit-test the helper's fallback
+    # with a stub session instead.
+    def _stub(conf_value, parallelism):
+        return SimpleNamespace(
+            conf=SimpleNamespace(get=lambda _k: conf_value),
+            sparkContext=SimpleNamespace(defaultParallelism=parallelism),
+        )
+
+    assert _default_bucket_count(_stub("auto", 32)) == 32
+    assert _default_bucket_count(_stub(None, 16)) == 16
+    assert _default_bucket_count(_stub("auto", 10**6)) == _MAX_DEFAULT_PARTS
+    assert _default_bucket_count(_stub("200", 32)) == 200
+    assert _default_bucket_count(_stub("0", 32)) == 1  # never below 1
+    # Live session: the numeric config path still drives the plan.
+    assert _default_bucket_count(spark) == max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            _MAX_DEFAULT_PARTS,
+        ),
+    )

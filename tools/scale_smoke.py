@@ -93,6 +93,19 @@ QUERIES = [
     # single-task sort.
     "vocab_coverage_topk",
     "customer_rfm_segments",
+    # Round-10 (verdict r09 task 3): the two suite-noise-exonerated
+    # bench outliers — cold floors are on file (NOTES_r10 §2), this
+    # puts the linear-scaling evidence next to them — plus the three
+    # most expensive registered queries never 10x-measured:
+    # dedup_minhash_keep (keeper join-back over the banded-LSH pair
+    # graph), dedup_simhash_pairs (pigeonhole band join), and
+    # sketch_kmv_merge (post-rewrite orderBy.limit(k) arms — never
+    # smoked since the r09 plan change).
+    "orders_market_basket",
+    "events_props_json",
+    "dedup_minhash_keep",
+    "dedup_simhash_pairs",
+    "sketch_kmv_merge",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.

@@ -22,7 +22,7 @@ The staleness bounds mirror tests/test_driver_window.py
 there; test_seat_plan_tool_bounds_match asserts the copies agree).
 
 Usage:
-    python tools/seat_plan.py [--changed name1,name2] [--quiet]
+    python tools/seat_plan.py [--changed name1,name2]
 """
 
 from __future__ import annotations
