@@ -15,12 +15,19 @@ Decode status by modality:
   parses them with stdlib ``wave`` (no external codecs needed) and
   returns header fields + PCM statistics (RMS, peak, mean). The
   deterministic generator ``wav_payload`` produces the test corpus.
-- **image: REAL.** Payloads are uncompressed 24-bit BMP containers
-  (BITMAPFILEHEADER + BITMAPINFOHEADER + padded bottom-up pixel
-  rows); ``decode_asset`` parses them with stdlib ``struct`` — no
-  codec library needed for an uncompressed raster — and returns
-  dimensions + per-channel means. ``bmp_payload`` generates the
-  deterministic test corpus.
+- **image: REAL, including a COMPRESSED codec (round 10).** Payloads
+  are uncompressed 24-bit BMP containers (BITMAPFILEHEADER +
+  BITMAPINFOHEADER + padded bottom-up pixel rows) parsed with stdlib
+  ``struct``, OR compressed PNG (8-bit RGB / RGBA, non-interlaced):
+  PNG's codec is DEFLATE, which IS stdlib ``zlib``, so the full
+  chunk-walk → inflate → per-row defilter (all five spec filters:
+  None/Sub/Up/Average/Paeth) needs no external library.
+  ``bmp_payload`` / ``png_payload`` generate the deterministic test
+  corpora with IDENTICAL pixel values per asset_id — the decoders
+  cross-check each other exactly. Exotic PNGs (16-bit, palette,
+  interlaced) still raise ``NotImplementedError``; at production
+  scale a vectorized codec lib would replace the per-row Python
+  defilter loop, but the decode itself is complete and correct.
 - **video: REAL.** Payloads are uncompressed AVI containers (RIFF
   'AVI ': hdrl list with avih + vids/'DIB ' stream headers, movi
   list of raw bottom-up padded 24-bit frames); ``decode_asset``
@@ -274,6 +281,113 @@ def bmp_payload(asset_id: int) -> bytes:
     return header + dib + b"".join(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a+b-c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_payload(asset_id: int, rgba: bool = False) -> bytes:
+    """A real, deterministic PNG container — the COMPRESSED image
+    format the BMP branch's NotImplementedError used to defer to a
+    codec library for. PNG's codec is DEFLATE, which IS stdlib
+    (``zlib``), so the full encode is dependency-free: IHDR/IDAT/IEND
+    chunks with correct CRCs, scanlines run through the spec's filter
+    bank (row y uses filter y % 5, so every decoder filter path is
+    exercised by every image taller than 4 rows), then deflated.
+
+    Pixel (x, y) carries the SAME channel values as ``bmp_payload``
+    for the same ``asset_id`` — the per-channel means of the two
+    containers are equal by construction, giving the decoder an exact
+    cross-format oracle. ``rgba=True`` emits color type 6 with a
+    deterministic alpha lane (RGB means unchanged)."""
+    import zlib
+
+    w, h = bmp_dims(asset_id)
+    bpp = 4 if rgba else 3
+    stride = w * bpp
+    # Reconstructed (unfiltered) scanlines, top-down, RGB(A) order.
+    recon_rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            k = y * w + x
+            row += bytes(
+                (
+                    (asset_id * 7 + k * 11) % 256,  # R
+                    (asset_id * 13 + k * 17) % 256,  # G
+                    (asset_id * 19 + k * 23) % 256,  # B
+                )
+            )
+            if rgba:
+                row.append((asset_id + k) % 256)
+        recon_rows.append(bytes(row))
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(recon_rows):
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            filt = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            filt = bytes(
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            filt = bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        raw += filt
+        prev = line
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def image_bmp_assets(docs: DataFrame) -> DataFrame:
     """Image asset table built directly from document ids (modality
     assignment ``doc_id % 3 == 0``, as in ``assets_from_documents``):
@@ -336,13 +450,20 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
     [n_channels, sampwidth, framerate, n_frames, rms, peak, mean,
     duration_sec].
 
-    image: REAL decode — stdlib ``struct`` parses the BMP headers
-    (magic, pixel-data offset, dimensions, bpp, compression) and the
-    padded bottom-up pixel rows yield per-channel means. Feature
-    layout: [width, height, bpp, n_pixels, mean_r, mean_g, mean_b,
-    file_bytes]. Only the uncompressed 24-bit raster is supported —
-    that is what an uncompressed BMP IS; compressed formats need a
-    codec library.
+    image: REAL decode for BOTH containers. BMP: stdlib ``struct``
+    parses the headers (magic, pixel-data offset, dimensions, bpp,
+    compression) and the padded bottom-up pixel rows yield
+    per-channel means; only the uncompressed 24-bit raster is
+    supported — that is what an uncompressed BMP IS. PNG (the
+    compressed path, round 10): chunk walk → concatenated IDAT
+    inflate with stdlib ``zlib`` → per-scanline defilter implementing
+    all five spec filters (None/Sub/Up/Average/Paeth, §9 of the PNG
+    spec) for 8-bit RGB (color type 2) and RGBA (type 6),
+    non-interlaced; 16-bit / palette / interlaced rasters raise
+    ``NotImplementedError``. Feature layout for both: [width, height,
+    bpp, n_pixels, mean_r, mean_g, mean_b, file_bytes] — identical by
+    design, so the two containers of the same pixels decode to the
+    same features (pinned by the cross-format parity test).
 
     video: REAL decode for uncompressed AVI — stdlib ``struct``
     parses the RIFF 'AVI ' container (avih main header for
@@ -354,6 +475,77 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
     wild) need a codec library (av), and `fake=True` remains the
     md5-derived stand-in with the same shape contract for payloads
     this parser cannot handle."""
+    if modality == "image" and content[:8] == _PNG_SIG:
+        import zlib
+
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            if ctype == b"IHDR":
+                ihdr = content[pos + 8 : pos + 8 + length]
+            elif ctype == b"IDAT":
+                idat += content[pos + 8 : pos + 8 + length]
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None:
+            raise NotImplementedError("PNG without IHDR chunk")
+        w, h, depth, color, comp, filt_m, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or color not in (2, 6) or comp != 0 or filt_m != 0 or interlace != 0:
+            raise NotImplementedError(
+                f"PNG decode supports 8-bit RGB/RGBA non-interlaced only "
+                f"(depth={depth}, color_type={color}, interlace={interlace})"
+            )
+        bpp = 3 if color == 2 else 4
+        stride = w * bpp
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError(
+                f"PNG scanline payload {len(raw)} != expected {h * (stride + 1)}"
+            )
+        sum_r = sum_g = sum_b = 0
+        prev = bytes(stride)
+        for y in range(h):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if f == 0:
+                pass
+            elif f == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+            else:
+                raise NotImplementedError(f"PNG filter type {f}")
+            sum_r += sum(line[0::bpp])
+            sum_g += sum(line[1::bpp])
+            sum_b += sum(line[2::bpp])
+            prev = bytes(line)
+        n = w * h
+        return [
+            float(w),
+            float(h),
+            float(8 * bpp),
+            float(n),
+            sum_r / n,
+            sum_g / n,
+            sum_b / n,
+            float(len(content)),
+        ]
     if modality == "image" and content[:2] == b"BM":
         _magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", content, 0)
         _dib, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
