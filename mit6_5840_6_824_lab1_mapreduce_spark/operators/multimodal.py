@@ -11,10 +11,18 @@ Design (the 100 TB shape):
   through the driver.
 
 Decode status by modality:
-- **audio: REAL.** Payloads are RIFF/WAV containers; ``decode_asset``
-  parses them with stdlib ``wave`` (no external codecs needed) and
-  returns header fields + PCM statistics (RMS, peak, mean). The
-  deterministic generator ``wav_payload`` produces the test corpus.
+- **audio: REAL, including a COMPRESSED codec (round 10).** Payloads
+  are RIFF/WAV containers: PCM (format tag 1) parses with stdlib
+  ``wave``; G.711 mu-law / A-law (tags 7 / 6 — the telephony
+  compression standard, 8-bit log-PCM) decode with the pure ITU-T
+  expansion formulas, bit-exact against CPython's audioop reference
+  for all 256 codewords of both laws. Header fields + decoded-sample
+  statistics (RMS, peak, mean) come back either way. Generators:
+  ``wav_payload`` (PCM), ``g711_wav_payload`` (compressed, built to
+  spec by hand — fact chunk, 18-byte fmt — because ``wave`` cannot
+  write non-PCM); G.711 decode is table lookup, so generated
+  payloads decode LOSSLESSLY and a PCM WAV of the same samples is an
+  exact cross-format oracle.
 - **image: REAL, including a COMPRESSED codec (round 10).** Payloads
   are uncompressed 24-bit BMP containers (BITMAPFILEHEADER +
   BITMAPINFOHEADER + padded bottom-up pixel rows) parsed with stdlib
@@ -28,15 +36,19 @@ Decode status by modality:
   interlaced) still raise ``NotImplementedError``; at production
   scale a vectorized codec lib would replace the per-row Python
   defilter loop, but the decode itself is complete and correct.
-- **video: REAL.** Payloads are uncompressed AVI containers (RIFF
-  'AVI ': hdrl list with avih + vids/'DIB ' stream headers, movi
-  list of raw bottom-up padded 24-bit frames); ``decode_asset``
-  walks the chunk list with stdlib ``struct`` and returns
-  dimensions, frame count, fps, and per-channel means.
-  ``avi_payload`` generates the deterministic test corpus.
-  COMPRESSED streams (the common case in the wild) still need a
-  codec library (av) — that path raises ``NotImplementedError``
-  unless ``fake=True`` (md5-derived stand-in, same shape contract).
+- **video: REAL, including a COMPRESSED codec (round 10).** Payloads
+  are AVI containers (RIFF 'AVI ': hdrl list with avih + stream
+  headers, movi chunk list): uncompressed 24-bit DIB ('00db' raw
+  bottom-up padded frames) or MS-RLE8 ('00dc', biCompression=1 —
+  run-length pairs, absolute runs, EOL/EOB escapes, 256-RGBQUAD
+  palette in strf). ``decode_asset`` walks either with stdlib
+  ``struct`` and returns dimensions, frame count, fps, and
+  per-channel means. Generators: ``avi_payload`` (uncompressed),
+  ``rle8_avi_payload`` (compressed; pixel colors have a closed-form
+  oracle via ``rle8_palette``/``rle8_index``). Modern DCT/motion
+  codecs (the common case in the wild) still need a codec library
+  (av) — that path raises ``NotImplementedError`` unless
+  ``fake=True`` (md5-derived stand-in, same shape contract).
 The Spark-side plumbing — schema, batching, UDF signatures — is real
 and tested for all three, and so is the decode itself.
 """
@@ -141,6 +153,75 @@ def wav_payload(asset_id: int) -> bytes:
         w.setframerate(AUDIO_RATE)
         w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
+
+
+# G.711 (round 10): the telephony compression codec — 8-bit log-PCM,
+# 2:1 vs 16-bit linear. Pure formula, no codec library: the decode
+# expansions below are bit-exact against CPython's audioop reference
+# implementation for all 256 codewords of both laws (pinned by a
+# gated test while audioop exists; the formulas are ITU-T G.711 and
+# stand alone). Decoding is table lookup, so the corpus generator
+# emits CODEWORDS directly — every generated payload decodes
+# losslessly to a known 16-bit sample list, which makes a PCM WAV of
+# those same samples an exact cross-format oracle (same rms / peak /
+# mean / count, only the storage sampwidth differs).
+_ULAW_BIAS = 0x84
+
+
+def _ulaw2lin(code: int) -> int:
+    code = ~code & 0xFF
+    sign = code & 0x80
+    exp = (code >> 4) & 7
+    mant = code & 0x0F
+    val = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return -val if sign else val
+
+
+def _alaw2lin(code: int) -> int:
+    code ^= 0x55
+    sign = code & 0x80
+    exp = (code >> 4) & 7
+    mant = code & 0x0F
+    if exp == 0:
+        val = (mant << 4) + 8
+    else:
+        val = ((mant << 4) + 0x108) << (exp - 1)
+    return val if sign else -val
+
+
+_ULAW_TABLE = [_ulaw2lin(c) for c in range(256)]
+_ALAW_TABLE = [_alaw2lin(c) for c in range(256)]
+_WAVE_FORMAT_PCM, _WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW = 1, 6, 7
+
+
+def g711_codes(asset_id: int) -> bytes:
+    """Deterministic codeword stream, same frame-count contract as
+    ``wav_samples``."""
+    n = AUDIO_N_BASE + asset_id % AUDIO_N_MOD
+    return bytes((asset_id * 31 + k * 37) % 256 for k in range(n))
+
+
+def g711_wav_payload(asset_id: int, law: str = "ulaw") -> bytes:
+    """A real, deterministic COMPRESSED RIFF/WAV container: G.711
+    mu-law (format tag 7) or A-law (6), mono 8-bit at AUDIO_RATE.
+    stdlib ``wave`` cannot write non-PCM, so the container is built
+    by hand to spec: an 18-byte fmt chunk (cbSize=0 — required for
+    non-PCM formats) plus the fact chunk (dwSampleLength) the spec
+    mandates for compressed formats, then the codeword data."""
+    codes = g711_codes(asset_id)
+    fmt_tag = _WAVE_FORMAT_MULAW if law == "ulaw" else _WAVE_FORMAT_ALAW
+    fmt = struct.pack(
+        "<HHIIHHH", fmt_tag, 1, AUDIO_RATE, AUDIO_RATE * 1, 1, 8, 0
+    )
+    fact = struct.pack("<I", len(codes))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\0" if len(codes) & 1 else b"")  # RIFF chunks word-align
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def with_audio_payloads(assets: DataFrame) -> DataFrame:
@@ -444,11 +525,15 @@ def image_features_df(docs: DataFrame) -> DataFrame:
 def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload to a feature vector.
 
-    audio: REAL decode — stdlib ``wave`` parses the RIFF container
-    (channels, sample width, frame rate, frame count) and the PCM
-    frames yield RMS / peak / mean. Feature layout (FEATURE_DIM=8):
-    [n_channels, sampwidth, framerate, n_frames, rms, peak, mean,
-    duration_sec].
+    audio: REAL decode — the fmt tag routes the container: PCM
+    (tag 1) through stdlib ``wave``; G.711 mu-law / A-law (tags
+    7 / 6, the compressed path, round 10) through the ITU-T expansion
+    tables (bit-exact vs audioop for every codeword). RMS / peak /
+    mean are over the DECODED 16-bit samples either way; ``sampwidth``
+    reports the STORED width (2 for PCM, 1 for G.711 codewords).
+    Other format tags raise ``NotImplementedError``. Feature layout
+    (FEATURE_DIM=8): [n_channels, sampwidth, framerate, n_frames,
+    rms, peak, mean, duration_sec].
 
     image: REAL decode for BOTH containers. BMP: stdlib ``struct``
     parses the headers (magic, pixel-data offset, dimensions, bpp,
@@ -467,14 +552,16 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
 
     video: REAL decode for uncompressed AVI — stdlib ``struct``
     parses the RIFF 'AVI ' container (avih main header for
-    dimensions/fps, then walks the movi list chunk by chunk summing
-    raw '00db' frame pixels). Feature layout: [width, height,
-    n_frames, fps, mean_r, mean_g, mean_b, file_bytes]. Only the
-    uncompressed 24-bit DIB stream is supported — that is what an
-    uncompressed AVI IS; compressed streams (the common case in the
-    wild) need a codec library (av), and `fake=True` remains the
-    md5-derived stand-in with the same shape contract for payloads
-    this parser cannot handle."""
+    dimensions/fps, then walks the movi list chunk by chunk) for BOTH
+    the uncompressed 24-bit DIB stream (raw '00db' frame pixels) and
+    — the compressed path, round 10 — MS-RLE8 ('00dc',
+    biCompression=1): run-length/absolute-mode decode against the
+    256-RGBQUAD palette in strf, with EOL/EOB escapes honored, the
+    delta escape and row-overflowing runs refused loudly. Feature
+    layout: [width, height, n_frames, fps, mean_r, mean_g, mean_b,
+    file_bytes]. Modern DCT/motion codecs need a codec library (av),
+    and `fake=True` remains the md5-derived stand-in with the same
+    shape contract for payloads this parser cannot handle."""
     if modality == "image" and content[:8] == _PNG_SIG:
         import zlib
 
@@ -575,18 +662,40 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
             float(len(content)),
         ]
     if modality == "audio" and content[:4] == b"RIFF":
-        with wave.open(io.BytesIO(content), "rb") as w:
-            nch = w.getnchannels()
-            sw = w.getsampwidth()
-            rate = w.getframerate()
-            nf = w.getnframes()
-            raw = w.readframes(nf)
-        samples = struct.unpack(f"<{nf * nch}h", raw)
+        # Peek the fmt tag before handing off: stdlib ``wave`` only
+        # reads PCM (tag 1); G.711 log-PCM (tags 6/7) decodes here.
+        fpos = content.find(b"fmt ")
+        fmt_tag = struct.unpack_from("<H", content, fpos + 8)[0] if fpos >= 0 else -1
+        if fmt_tag == _WAVE_FORMAT_PCM or fpos < 0:
+            with wave.open(io.BytesIO(content), "rb") as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                rate = w.getframerate()
+                nf = w.getnframes()
+                raw = w.readframes(nf)
+            samples = struct.unpack(f"<{nf * nch}h", raw)
+            sw_f = float(sw)
+        elif fmt_tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+            _tag, nch, rate = struct.unpack_from("<HHI", content, fpos + 8)
+            dpos = content.find(b"data")
+            if dpos < 0:
+                raise NotImplementedError("G.711 WAV without a data chunk")
+            (dsize,) = struct.unpack_from("<I", content, dpos + 4)
+            codes = content[dpos + 8 : dpos + 8 + dsize]
+            table = _ULAW_TABLE if fmt_tag == _WAVE_FORMAT_MULAW else _ALAW_TABLE
+            samples = [table[c] for c in codes]
+            nf = len(samples) // nch
+            sw_f = 1.0  # stored width: one codeword byte per sample
+        else:
+            raise NotImplementedError(
+                f"WAV format tag {fmt_tag} needs a codec "
+                "(PCM=1 and G.711 A-law=6 / mu-law=7 are supported)"
+            )
         n = len(samples)
         rms = math.sqrt(sum(s * s for s in samples) / n)
         peak = float(max(abs(s) for s in samples))
         mean = sum(samples) / n
-        return [float(nch), float(sw), float(rate), float(nf), rms, peak, mean, nf / rate]
+        return [float(nch), sw_f, float(rate), float(nf), rms, peak, mean, nf / rate]
     if modality == "video" and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         apos = content.find(b"avih")
         usec_per_frame, _mbps, _pad, _flags, _nf_hdr, _init, _streams, _sugg, w, h = (
@@ -594,12 +703,17 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
         )
         spos = content.find(b"strf")
         _sz, _w, _h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, spos + 8)
-        if bpp != 24 or comp != 0:
+        if not ((bpp == 24 and comp == 0) or (bpp == 8 and comp == 1)):
             raise NotImplementedError(
-                f"AVI decode supports uncompressed 24-bit DIB only "
-                f"(bpp={bpp}, compression={comp}); compressed streams "
-                "need a codec"
+                f"AVI decode supports uncompressed 24-bit DIB or 8-bit "
+                f"MS-RLE8 only (bpp={bpp}, compression={comp}); other "
+                "compressed streams need a codec"
             )
+        if comp == 1:  # MS-RLE8: palette rides in strf after the header
+            pal = [
+                struct.unpack_from("<BBBB", content, spos + 8 + 40 + 4 * i)
+                for i in range(256)
+            ]  # entries are (B, G, R, reserved)
         row_size = (3 * w + 3) // 4 * 4
         # walk the movi list chunk by chunk (never content.find on
         # frame fourccs — pixel bytes could contain them)
@@ -609,13 +723,21 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
         while p + 8 <= len(content):
             cc = content[p : p + 4]
             size = struct.unpack_from("<I", content, p + 4)[0]
-            if cc == b"00db":
+            if comp == 0 and cc == b"00db":
                 fr = content[p + 8 : p + 8 + size]
                 for row_i in range(h):
                     row = fr[row_i * row_size : row_i * row_size + 3 * w]
                     sum_b += sum(row[0::3])
                     sum_g += sum(row[1::3])
                     sum_r += sum(row[2::3])
+                nf += 1
+            elif comp == 1 and cc == b"00dc":
+                counts = _rle8_frame_counts(content[p + 8 : p + 8 + size], w, h)
+                for i, cnt in enumerate(counts):
+                    if cnt:
+                        sum_b += pal[i][0] * cnt
+                        sum_g += pal[i][1] * cnt
+                        sum_r += pal[i][2] * cnt
                 nf += 1
             p += 8 + size + (size & 1)  # chunks are word-aligned
         n = w * h * nf
@@ -795,6 +917,134 @@ def avi_payload(asset_id: int) -> bytes:
     )
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# MS-RLE8 (round 10): the COMPRESSED video codec the uncompressed-DIB
+# branch's NotImplementedError used to defer to a codec library for.
+# BI_RLE8 (biCompression=1) is pure run-length logic — encoded mode
+# (count, palette-index) pairs plus escape codes 0=EOL / 1=EOB /
+# 2=delta / n>=3=absolute run — so both sides are stdlib. Frames are
+# 8-bit palette indices; the palette (256 RGBQUADs) rides in the strf
+# chunk per the BITMAPINFO spec.
+
+
+def rle8_palette() -> list[tuple[int, int, int]]:
+    """Deterministic 256-entry palette as (r, g, b) — shared by the
+    generator (serialized into strf as B,G,R,reserved RGBQUADs) and
+    the tests' closed-form expected means."""
+    return [((i * 7) % 256, (i * 13) % 256, (i * 19) % 256) for i in range(256)]
+
+
+def rle8_index(asset_id: int, f: int, y: int, x: int) -> int:
+    """Palette index of pixel (x, y) in frame f — y counts from the
+    BOTTOM row (DIB order). x // 3 makes runs of three, so the RLE
+    actually compresses."""
+    return (asset_id * 3 + f * 5 + y * 7 + (x // 3)) % 256
+
+
+def rle8_avi_payload(asset_id: int) -> bytes:
+    """A real, deterministic COMPRESSED AVI container: the same RIFF
+    layout as ``avi_payload`` but an 8-bit 'mrle' stream —
+    biCompression=1, strf carries the 256-RGBQUAD palette, and movi
+    holds '00dc' chunks of MS-RLE8 data. Even rows use encoded mode
+    (run pairs), odd rows absolute mode (count>=3 literal runs, word-
+    aligned) so the decoder exercises both, every row ends in the EOL
+    escape and every frame in EOB. Dimensions/frame count follow
+    ``avi_dims``; pixel colors are palette[``rle8_index``], giving the
+    tests a closed-form oracle and the 24-bit decoder a cross-check."""
+    w, h, nf = avi_dims(asset_id)
+    pal = rle8_palette()
+
+    def encode_row(f: int, y: int) -> bytes:
+        idx = [rle8_index(asset_id, f, y, x) for x in range(w)]
+        out = bytearray()
+        if y % 2 == 1 and w >= 3:
+            out += bytes((0, w)) + bytes(idx)  # absolute mode, one run
+            if w & 1:
+                out.append(0)  # word alignment pad
+        else:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and idx[x + run] == idx[x] and run < 255:
+                    run += 1
+                out += bytes((run, idx[x]))
+                x += run
+        return bytes(out)
+
+    def frame(f: int) -> bytes:
+        rows = []
+        for y in range(h):  # y=0 is the bottom row; stream order is bottom-up
+            rows.append(encode_row(f, y))
+            rows.append(b"\x00\x00" if y < h - 1 else b"\x00\x01")  # EOL / EOB
+        return b"".join(rows)
+
+    frames = [frame(f) for f in range(nf)]
+    max_frame = max(len(fr) for fr in frames)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // VIDEO_FPS, max_frame * VIDEO_FPS, 0, 0x10,
+        nf, 0, 1, max_frame, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"mrle", 0, 0, 0, 0, 1, VIDEO_FPS, 0, nf,
+        max_frame, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 2835, 2835, 256, 0
+    ) + b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", fr) for fr in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _rle8_frame_counts(data: bytes, w: int, h: int) -> list[int]:
+    """Decode one MS-RLE8 frame to per-palette-index pixel counts.
+    Undrawn pixels (possible with early EOB) are index 0, per the
+    common renderer behavior; rows are tracked bottom-up. Runs that
+    would overflow a row and the delta escape raise — the decoder
+    refuses to guess."""
+    counts = [0] * 256
+    drawn = 0
+    x = y = 0
+    p = 0
+    while p + 2 <= len(data):
+        c, v = data[p], data[p + 1]
+        p += 2
+        if c > 0:
+            if y >= h or x + c > w:
+                raise NotImplementedError("RLE8 run overflows the row")
+            counts[v] += c
+            drawn += c
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:
+            raise NotImplementedError("RLE8 delta escape not supported")
+        else:  # absolute mode: v literal indices, word-aligned
+            if y >= h or x + v > w or p + v > len(data):
+                raise NotImplementedError("RLE8 absolute run overflows")
+            for i in range(v):
+                counts[data[p + i]] += 1
+            drawn += v
+            x += v
+            p += v + (v & 1)
+    counts[0] += w * h - drawn
+    return counts
 
 
 def video_features_df(docs: DataFrame) -> DataFrame:

@@ -455,3 +455,170 @@ def test_png_decode_through_arrow_stage(spark):
         assert (r.feature[0], r.feature[1]) == (w, h)
         assert r.feature[2] == (32.0 if i % 2 else 24.0)
         assert r.n_bytes == r.feature[7]
+
+
+def test_g711_compressed_audio_decode_lossless_roundtrip():
+    """The COMPRESSED audio codec path is REAL (round 10): G.711
+    mu-law and A-law WAV containers (format tags 7/6, hand-built to
+    spec — wave can't write non-PCM) decode through the pure ITU-T
+    expansion formulas. The generator emits CODEWORDS, so decode is
+    lossless by construction: a PCM WAV holding the decoded samples
+    is an exact cross-format oracle — identical channel count, rate,
+    frame count, rms, peak, mean, duration; only the STORED sampwidth
+    differs (1 codeword byte vs 2 PCM bytes)."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        AUDIO_RATE,
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_asset,
+        g711_codes,
+        g711_wav_payload,
+    )
+
+    for asset_id in (0, 5, 17, 33, 1002):
+        for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+            payload = g711_wav_payload(asset_id, law)
+            feats = decode_asset(payload, "audio", fake=False)
+            samples = [table[c] for c in g711_codes(asset_id)]
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(AUDIO_RATE)
+                w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+            pcm = decode_asset(buf.getvalue(), "audio", fake=False)
+            assert feats[0] == pcm[0] == 1.0
+            assert (feats[1], pcm[1]) == (1.0, 2.0)  # stored widths
+            assert feats[2] == pcm[2] == float(AUDIO_RATE)
+            assert feats[3:] == pcm[3:]
+
+
+def test_g711_expansion_tables_match_reference_implementation():
+    """Bit-exactness of the pure-Python G.711 expansions against
+    CPython's audioop (the Sun reference implementation) for ALL 256
+    codewords of both laws. Gated: audioop is deprecated-for-removal
+    (gone in 3.13); the formulas stand alone — this test just pins
+    them to the reference while an independent oracle exists."""
+    audioop = pytest.importorskip("audioop")
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    for c in range(256):
+        assert _ULAW_TABLE[c] == _struct.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0]
+        assert _ALAW_TABLE[c] == _struct.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0]
+
+
+def test_wav_unknown_format_tag_rejected():
+    """A WAV with a format tag the decoder doesn't implement (e.g.
+    2 = ADPCM) must raise NotImplementedError, not mis-parse."""
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+        g711_wav_payload,
+    )
+
+    payload = bytearray(g711_wav_payload(3))
+    fpos = payload.find(b"fmt ")
+    _struct.pack_into("<H", payload, fpos + 8, 2)  # claim ADPCM
+    with pytest.raises(NotImplementedError, match="WAV format tag 2"):
+        decode_asset(bytes(payload), "audio", fake=False)
+
+
+def test_rle8_compressed_video_decode_roundtrip():
+    """The COMPRESSED video codec path is REAL (round 10): MS-RLE8
+    AVI containers (biCompression=1, palette in strf, '00dc' frames
+    mixing encoded mode, absolute mode, EOL and EOB escapes) decode
+    to exactly the per-channel means the closed-form
+    palette[rle8_index] oracle implies."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        VIDEO_FPS,
+        avi_dims,
+        decode_asset,
+        rle8_avi_payload,
+        rle8_index,
+        rle8_palette,
+    )
+
+    pal = rle8_palette()
+    for asset_id in (0, 3, 7, 14, 23, 1002):
+        w, h, nf = avi_dims(asset_id)
+        feats = decode_asset(rle8_avi_payload(asset_id), "video", fake=False)
+        n = w * h * nf
+        sr = sg = sb = 0
+        for f in range(nf):
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = pal[rle8_index(asset_id, f, y, x)]
+                    sr += r
+                    sg += g
+                    sb += b
+        assert feats[:7] == [
+            float(w), float(h), float(nf), float(VIDEO_FPS),
+            sr / n, sg / n, sb / n,
+        ]
+        assert feats[7] == len(rle8_avi_payload(asset_id))
+
+
+def test_rle8_decoder_refuses_delta_and_overflow():
+    """The RLE8 decoder fails loudly on the delta escape (position
+    jump — undefined pixels) and on runs that overflow a row; it must
+    never guess means from malformed data."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        _rle8_frame_counts,
+    )
+
+    with pytest.raises(NotImplementedError, match="delta"):
+        _rle8_frame_counts(bytes((0, 2, 1, 1, 0, 1)), 4, 2)
+    with pytest.raises(NotImplementedError, match="overflows"):
+        _rle8_frame_counts(bytes((200, 5, 0, 1)), 4, 2)
+    # Early EOB: undrawn pixels count as palette index 0.
+    counts = _rle8_frame_counts(bytes((2, 9, 0, 1)), 4, 2)
+    assert counts[9] == 2 and counts[0] == 6 and sum(counts) == 8
+
+
+def test_compressed_codecs_through_arrow_stage(spark):
+    """Spark-side plumbing for ALL round-10 compressed codecs in one
+    mixed-modality frame: G.711 audio + RLE8 video + PNG image flow
+    through the same mapInPandas extract_features stage, fake=False,
+    schema-stable."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        avi_dims,
+        bmp_dims,
+        extract_features,
+        g711_wav_payload,
+        png_payload,
+        rle8_avi_payload,
+    )
+
+    rows = []
+    for i in range(9):
+        if i % 3 == 0:
+            rows.append((i, "image", png_payload(i), (None, None)))
+        elif i % 3 == 1:
+            rows.append((i, "audio", g711_wav_payload(i, "ulaw" if i % 2 else "alaw"), (None, None)))
+        else:
+            rows.append((i, "video", rle8_avi_payload(i), (None, None)))
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, modality string, content binary, "
+        "meta struct<n_bytes: long, digest: string>",
+    )
+    got = {r.asset_id: r for r in extract_features(assets, fake=False).collect()}
+    assert set(got) == set(range(9))
+    for i, r in got.items():
+        if i % 3 == 0:
+            assert (r.feature[0], r.feature[1]) == bmp_dims(i)
+        elif i % 3 == 1:
+            assert r.feature[1] == 1.0  # stored G.711 codeword width
+        else:
+            w, h, nf = avi_dims(i)
+            assert (r.feature[0], r.feature[1], r.feature[2]) == (w, h, nf)
