@@ -310,6 +310,36 @@ def audio_features_df(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def g711_features_df(docs: DataFrame) -> DataFrame:
+    """Fused COMPRESSED-audio build→decode in ONE Arrow stage (the
+    ``audio_features_df`` twin for the round-10 G.711 codec): ids in
+    (modality assignment ``doc_id % 3 == 1``), decoded features out.
+    Law alternates by asset parity — even ids A-law, odd ids mu-law —
+    so both expansion tables are exercised in every batch. The
+    container round-trip is real: spec-correct non-PCM WAV built
+    byte-for-byte, parsed back by ``decode_asset`` inside the batch."""
+    ids = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                g711_wav_payload(int(a), "alaw" if int(a) % 2 == 0 else "ulaw")
+                for a in pdf["asset_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["audio"] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, "audio") for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 # Deterministic BMP generation contract (shared verbatim with the SQL
 # oracle, which recomputes the pixel statistics arithmetically from
 # the same formula — generating the container on one side and parsing
@@ -516,6 +546,58 @@ def image_features_df(docs: DataFrame) -> DataFrame:
                     "modality": ["image"] * len(payloads),
                     "n_bytes": [len(c) for c in payloads],
                     "feature": [decode_asset(c, "image") for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def png_features_df(docs: DataFrame) -> DataFrame:
+    """Fused COMPRESSED-image build→decode in ONE Arrow stage (the
+    ``image_features_df`` twin for the round-10 PNG codec): ids in
+    (modality assignment ``doc_id % 3 == 0``), decoded features out.
+    The round-trip is real — DEFLATE-compressed containers built with
+    correct CRCs and filter types cycling all five per row, inflated
+    and defiltered back by ``decode_asset`` inside the batch."""
+    ids = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [png_payload(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, "image") for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def rle8_features_df(docs: DataFrame) -> DataFrame:
+    """Fused COMPRESSED-video build→decode in ONE Arrow stage (the
+    ``video_features_df`` twin for the round-10 MS-RLE8 codec): ids
+    in (modality assignment ``doc_id % 3 == 2``), decoded features
+    out. The round-trip is real — run-length frames mixing encoded
+    and absolute modes, decoded back against the strf palette by
+    ``decode_asset`` inside the batch."""
+    ids = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [rle8_avi_payload(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, "video") for c in payloads],
                 }
             )
 

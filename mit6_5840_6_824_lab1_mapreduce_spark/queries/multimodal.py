@@ -11,8 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import table
-from ._util import det_round_col
-from .registry import query
+from ._util import det_round_col, det_round_sql
+from .registry import query, staged_query
 
 
 @query(
@@ -409,4 +409,200 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round_col(f[5]).alias("mean_g"),
         det_round_col(f[6]).alias("mean_b"),
         f[7].cast("long").alias("file_bytes"),
+    )
+
+
+# ---------------------------------------------------------------- r10
+# Staged (r09 verdict task 5: registration holds at 155; new families
+# enter STAGED with written justification and wait for a freed seat
+# window). Justification: the three round-10 COMPRESSED codecs —
+# PNG (stdlib zlib), G.711 mu-law/A-law (ITU-T formulas), MS-RLE8
+# (run-length) — are pytest-proven against cross-format and
+# reference-implementation oracles, but a driver-checked row needs a
+# @query seat. These three stage the decode paths with fully
+# arithmetic DuckDB oracles (the G.711 expansion and the RLE8
+# palette are closed-form integer arithmetic, recomputed by the
+# oracle from the generation contract — the same
+# container-built-on-one-side / recomputed-on-the-other proof shape
+# as the uncompressed decode queries above).
+
+
+@staged_query(
+    "multimodal_png_decode",
+    oracle=rf"""
+    WITH img AS (
+      SELECT doc_id AS asset_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT asset_id, w, h,
+             (asset_id * 7 + k * 11) % 256 AS r,
+             (asset_id * 13 + k * 17) % 256 AS g,
+             (asset_id * 19 + k * 23) % 256 AS b
+      FROM img, unnest(range(0, w * h)) AS t(k)
+    )
+    SELECT asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           24 AS bpp,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           {det_round_sql("sum(r) / CAST(count(*) AS DOUBLE)")} AS mean_r,
+           {det_round_sql("sum(g) / CAST(count(*) AS DOUBLE)")} AS mean_g,
+           {det_round_sql("sum(b) / CAST(count(*) AS DOUBLE)")} AS mean_b
+    FROM px GROUP BY asset_id, w, h
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode (round 10), no fake anywhere:
+    image assets are PNG containers — DEFLATE-compressed scanlines,
+    filter types cycling all five per row — built byte-for-byte with
+    correct chunk CRCs and inflated + defiltered back by stdlib
+    `zlib`/`struct` inside the fused Arrow `mapInPandas` stage
+    (`decode_asset` with fake=False). The oracle regenerates the
+    pixel grid arithmetically from the generation contract (the SAME
+    formula as `multimodal_image_decode`'s BMP — the two queries
+    cross-check each other's decoders exactly); file size is
+    excluded because a DEFLATE stream length has no closed form.
+
+    Reference analog: decode is the modern map UDF
+    (/root/reference/src/mr/worker.go:32-33)."""
+    from ..operators.multimodal import png_features_df
+
+    feats = png_features_df(table(spark, sf_dir, "documents"))
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("int").alias("bpp"),
+        f[3].cast("long").alias("n_pixels"),
+        det_round_col(f[4]).alias("mean_r"),
+        det_round_col(f[5]).alias("mean_g"),
+        det_round_col(f[6]).alias("mean_b"),
+    )
+
+
+@staged_query(
+    "multimodal_g711_decode",
+    oracle=rf"""
+    WITH audio AS (
+      SELECT doc_id AS asset_id, 32 + doc_id % 32 AS nf
+      FROM documents WHERE doc_id % 3 = 1
+    ), cw AS (
+      SELECT asset_id, nf, (asset_id * 31 + k * 37) % 256 AS c
+      FROM audio, unnest(range(0, nf)) AS t(k)
+    ), smp AS (
+      -- G.711 expansion in pure integer arithmetic (ITU-T): even
+      -- asset ids decode as A-law, odd as mu-law — mirroring the
+      -- Spark side's per-asset law choice.
+      SELECT asset_id, nf,
+        CASE WHEN asset_id % 2 = 1 THEN
+          CASE WHEN (255 - c) >= 128
+               THEN -((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132)
+               ELSE ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132) END
+        ELSE
+          CASE WHEN xor(c, 85) >= 128
+               THEN (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                          THEN (xor(c, 85) % 16) * 16 + 8
+                          ELSE ((xor(c, 85) % 16) * 16 + 264) * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+               ELSE -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                           THEN (xor(c, 85) % 16) * 16 + 8
+                           ELSE ((xor(c, 85) % 16) * 16 + 264) * (1 << ((xor(c, 85) // 16) % 8 - 1)) END) END
+        END AS s
+      FROM cw
+    )
+    SELECT asset_id,
+           1 AS n_channels,
+           1 AS sampwidth,
+           8000 AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           {det_round_sql("sqrt(sum(s * s) / count(*))")} AS rms,
+           CAST(max(abs(s)) AS DOUBLE) AS peak,
+           {det_round_sql("sum(s) / CAST(count(*) AS DOUBLE)")} AS mean_amp
+    FROM smp GROUP BY asset_id, nf
+    """,
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED audio decode (round 10), no fake anywhere:
+    audio assets are G.711 WAV containers (A-law for even asset ids,
+    mu-law for odd — format tags 6/7, hand-built to spec with fact
+    chunk) decoded through the pure ITU-T expansion formulas inside
+    the fused Arrow `mapInPandas` stage (`decode_asset` with
+    fake=False). The oracle re-derives every 16-bit sample from the
+    codeword stream with the SAME expansion restated as integer SQL
+    arithmetic — a full second implementation of the codec, not a
+    replay — then matches header fields and signal statistics.
+    `sampwidth` is the STORED width (1 codeword byte per sample).
+
+    Reference analog: decode is the modern map UDF
+    (/root/reference/src/mr/worker.go:32-33)."""
+    from ..operators.multimodal import g711_features_df
+
+    feats = g711_features_df(table(spark, sf_dir, "documents"))
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("int").alias("n_channels"),
+        f[1].cast("int").alias("sampwidth"),
+        f[2].cast("int").alias("sample_rate"),
+        f[3].cast("long").alias("n_frames"),
+        det_round_col(f[4]).alias("rms"),
+        f[5].alias("peak"),
+        det_round_col(f[6]).alias("mean_amp"),
+    )
+
+
+@staged_query(
+    "multimodal_rle8_decode",
+    oracle=rf"""
+    WITH vid AS (
+      SELECT doc_id AS asset_id,
+             4 + doc_id % 6 AS w, 2 + doc_id % 4 AS h, 2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), px AS (
+      -- palette[rle8_index]: both closed-form; y counts from the
+      -- bottom row per DIB order (symmetric over the full grid, but
+      -- stated to match the generator's contract)
+      SELECT asset_id, w, h, nf,
+             ((asset_id * 3 + f * 5 + y * 7 + (x // 3)) % 256) AS idx
+      FROM vid,
+           unnest(range(0, nf)) AS tf(f),
+           unnest(range(0, h)) AS ty(y),
+           unnest(range(0, w)) AS tx(x)
+    )
+    SELECT asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           10 AS fps,
+           {det_round_sql("sum((idx * 7) % 256) / CAST(count(*) AS DOUBLE)")} AS mean_r,
+           {det_round_sql("sum((idx * 13) % 256) / CAST(count(*) AS DOUBLE)")} AS mean_g,
+           {det_round_sql("sum((idx * 19) % 256) / CAST(count(*) AS DOUBLE)")} AS mean_b
+    FROM px GROUP BY asset_id, w, h, nf
+    """,
+)
+def multimodal_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED video decode (round 10), no fake anywhere:
+    video assets are MS-RLE8 AVI containers (biCompression=1, frames
+    mixing encoded and absolute modes with EOL/EOB escapes, palette
+    in strf) decoded by the run-length walk inside the fused Arrow
+    `mapInPandas` stage (`decode_asset` with fake=False). The oracle
+    recomputes every pixel's palette color from the closed-form
+    index/palette contract; container byte size is excluded (the RLE
+    stream length has no tidy closed form).
+
+    Reference analog: decode is the modern map UDF
+    (/root/reference/src/mr/worker.go:32-33)."""
+    from ..operators.multimodal import rle8_features_df
+
+    feats = rle8_features_df(table(spark, sf_dir, "documents"))
+    f = F.col("feature")
+    return feats.select(
+        "asset_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("n_frames"),
+        f[3].cast("int").alias("fps"),
+        det_round_col(f[4]).alias("mean_r"),
+        det_round_col(f[5]).alias("mean_g"),
+        det_round_col(f[6]).alias("mean_b"),
     )

@@ -26,6 +26,11 @@ PYTHON_REQUIRED = {
     "multimodal_audio_decode",
     "multimodal_image_decode",
     "multimodal_video_decode",
+    # r10 staged compressed-codec decodes: same fused Arrow
+    # build→decode shape as the uncompressed trio above.
+    "multimodal_png_decode",
+    "multimodal_g711_decode",
+    "multimodal_rle8_decode",
 }
 
 # BroadcastNestedLoopJoin is sanctioned ONLY where the build side is

@@ -403,15 +403,20 @@ PROMOTED_R09 = [
 
 def test_r09_promotion_complete():
     """r09 flipped the four r08-staged decorators to @query: every
-    name is registered with an oracle, driver-visible, and STAGED is
-    empty (nothing lingers awaiting a window)."""
+    name is registered with an oracle and driver-visible. STAGED
+    emptied at r09; r10 staged the three compressed-codec decode
+    queries (hold-at-155 policy) — anything else lingering in STAGED
+    is a leak this pin catches (the r10 cohort's own battery is
+    tests/test_staged_r10.py)."""
     import __spark_entry__ as entry
+
+    from tests.test_staged_r10 import STAGED_R10
 
     for name in PROMOTED_R09:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle, name
         assert name in entry.queries(), name
-    assert STAGED == {}
+    assert sorted(STAGED) == sorted(STAGED_R10)
 
 
 @pytest.mark.parametrize("name", PROMOTED_R09)
