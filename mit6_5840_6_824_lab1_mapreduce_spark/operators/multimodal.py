@@ -60,6 +60,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -282,6 +283,35 @@ def audio_wav_assets(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
+def _fused_features_df(docs, remainder, modality, payload_fn) -> DataFrame:
+    """Shared body of the six fused build→decode stages (one per
+    modality × container family): one narrow id column enters the
+    Arrow stage (modality assignment ``doc_id % 3 == remainder``),
+    decoded features come out. The container round-trip is real —
+    payloads are built byte-for-byte AND parsed back by
+    ``decode_asset`` (fake=False) inside the batch — and the bytes
+    never cross a stage boundary (the 100 TB rule: chaining two
+    mapInPandas stages pays the JVM↔Python Arrow toll twice for an
+    intermediate that need not exist)."""
+    ids = docs.where(F.col("doc_id") % 3 == remainder).select(
+        F.col("doc_id").alias("asset_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [payload_fn(int(a)) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": [modality] * len(payloads),
+                    "n_bytes": [len(c) for c in payloads],
+                    "feature": [decode_asset(c, modality) for c in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def audio_features_df(docs: DataFrame) -> DataFrame:
     """Fused audio build→decode in ONE Arrow stage: ids in, decoded
     features out. The WAV container round-trip is still real — bytes
@@ -291,23 +321,7 @@ def audio_features_df(docs: DataFrame) -> DataFrame:
     batch; at 100 TB that's the difference between one decode pass and
     paying the serialization toll twice for bytes that exist only as
     an intermediate."""
-    ids = docs.where(F.col("doc_id") % 3 == 1).select(
-        F.col("doc_id").alias("asset_id")
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [wav_payload(int(a)) for a in pdf["asset_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["audio"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "audio") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _fused_features_df(docs, 1, "audio", wav_payload)
 
 
 def g711_features_df(docs: DataFrame) -> DataFrame:
@@ -318,26 +332,12 @@ def g711_features_df(docs: DataFrame) -> DataFrame:
     so both expansion tables are exercised in every batch. The
     container round-trip is real: spec-correct non-PCM WAV built
     byte-for-byte, parsed back by ``decode_asset`` inside the batch."""
-    ids = docs.where(F.col("doc_id") % 3 == 1).select(
-        F.col("doc_id").alias("asset_id")
+    return _fused_features_df(
+        docs,
+        1,
+        "audio",
+        lambda a: g711_wav_payload(a, "alaw" if a % 2 == 0 else "ulaw"),
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                g711_wav_payload(int(a), "alaw" if int(a) % 2 == 0 else "ulaw")
-                for a in pdf["asset_id"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["audio"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "audio") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 # Deterministic BMP generation contract (shared verbatim with the SQL
@@ -396,8 +396,6 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import zlib
-
     return (
         struct.pack(">I", len(data))
         + ctype
@@ -432,8 +430,6 @@ def png_payload(asset_id: int, rgba: bool = False) -> bytes:
     containers are equal by construction, giving the decoder an exact
     cross-format oracle. ``rgba=True`` emits color type 6 with a
     deterministic alpha lane (RGB means unchanged)."""
-    import zlib
-
     w, h = bmp_dims(asset_id)
     bpp = 4 if rgba else 3
     stride = w * bpp
@@ -533,23 +529,7 @@ def image_features_df(docs: DataFrame) -> DataFrame:
     round-trip is real — containers are built byte-for-byte and parsed
     back by ``decode_asset`` inside the batch — but the payload never
     crosses a stage boundary."""
-    ids = docs.where(F.col("doc_id") % 3 == 0).select(
-        F.col("doc_id").alias("asset_id")
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [bmp_payload(int(a)) for a in pdf["asset_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["image"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "image") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _fused_features_df(docs, 0, "image", bmp_payload)
 
 
 def png_features_df(docs: DataFrame) -> DataFrame:
@@ -559,23 +539,7 @@ def png_features_df(docs: DataFrame) -> DataFrame:
     The round-trip is real — DEFLATE-compressed containers built with
     correct CRCs and filter types cycling all five per row, inflated
     and defiltered back by ``decode_asset`` inside the batch."""
-    ids = docs.where(F.col("doc_id") % 3 == 0).select(
-        F.col("doc_id").alias("asset_id")
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [png_payload(int(a)) for a in pdf["asset_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["image"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "image") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _fused_features_df(docs, 0, "image", png_payload)
 
 
 def rle8_features_df(docs: DataFrame) -> DataFrame:
@@ -585,23 +549,139 @@ def rle8_features_df(docs: DataFrame) -> DataFrame:
     out. The round-trip is real — run-length frames mixing encoded
     and absolute modes, decoded back against the strf palette by
     ``decode_asset`` inside the batch."""
-    ids = docs.where(F.col("doc_id") % 3 == 2).select(
-        F.col("doc_id").alias("asset_id")
+    return _fused_features_df(docs, 2, "video", rle8_avi_payload)
+
+
+def _decode_png(content: bytes) -> list[float]:
+    """PNG → image feature vector (see ``decode_asset``): chunk walk,
+    concatenated-IDAT inflate, all-five-filter defilter. 8-bit
+    RGB/RGBA non-interlaced only; anything else raises."""
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = content[pos + 8 : pos + 8 + length]
+        elif ctype == b"IDAT":
+            idat += content[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise NotImplementedError("PNG without IHDR chunk")
+    w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt_m != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG decode supports 8-bit RGB/RGBA non-interlaced only "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            f"PNG scanline payload {len(raw)} != expected {h * (stride + 1)}"
+        )
+    sum_r = sum_g = sum_b = 0
+    prev = bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        sum_r += sum(line[0::bpp])
+        sum_g += sum(line[1::bpp])
+        sum_b += sum(line[2::bpp])
+        prev = bytes(line)
+    n = w * h
+    return [
+        float(w),
+        float(h),
+        float(8 * bpp),
+        float(n),
+        sum_r / n,
+        sum_g / n,
+        sum_b / n,
+        float(len(content)),
+    ]
+
+
+def _wav_chunks(content: bytes):
+    """Yield (fourcc, data_offset, size) for each top-level chunk of
+    a RIFF/WAVE container — the same never-find-on-fourccs rule the
+    AVI movi walk documents: a 'data' or 'fmt ' byte sequence inside
+    an earlier chunk (LIST/INFO metadata is common in real WAVs) must
+    not be mistaken for the chunk header."""
+    p = 12  # past RIFF <size> WAVE
+    while p + 8 <= len(content):
+        cc = content[p : p + 4]
+        (size,) = struct.unpack_from("<I", content, p + 4)
+        yield cc, p + 8, size
+        p += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_wav(content: bytes) -> list[float]:
+    """RIFF/WAV → audio feature vector (see ``decode_asset``): the
+    fmt tag routes PCM to stdlib ``wave`` and G.711 mu-law/A-law to
+    the ITU-T expansion tables; other tags raise."""
+    fmt_off = data_off = None
+    data_size = 0
+    for cc, off, size in _wav_chunks(content):
+        if cc == b"fmt " and fmt_off is None:
+            fmt_off = off
+        elif cc == b"data" and data_off is None:
+            data_off, data_size = off, size
+    fmt_tag = (
+        struct.unpack_from("<H", content, fmt_off)[0] if fmt_off is not None else -1
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [rle8_avi_payload(int(a)) for a in pdf["asset_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["video"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "video") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+    if fmt_tag == _WAVE_FORMAT_PCM or fmt_off is None:
+        # wave does its own full parse (and raises its own error on a
+        # malformed container the walk above couldn't make sense of).
+        with wave.open(io.BytesIO(content), "rb") as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+        samples = struct.unpack(f"<{nf * nch}h", raw)
+        sw_f = float(sw)
+    elif fmt_tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+        _tag, nch, rate = struct.unpack_from("<HHI", content, fmt_off)
+        if data_off is None:
+            raise NotImplementedError("G.711 WAV without a data chunk")
+        codes = content[data_off : data_off + data_size]
+        table = _ULAW_TABLE if fmt_tag == _WAVE_FORMAT_MULAW else _ALAW_TABLE
+        samples = [table[c] for c in codes]
+        nf = len(samples) // nch
+        sw_f = 1.0  # stored width: one codeword byte per sample
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {fmt_tag} needs a codec "
+            "(PCM=1 and G.711 A-law=6 / mu-law=7 are supported)"
+        )
+    n = len(samples)
+    rms = math.sqrt(sum(s * s for s in samples) / n)
+    peak = float(max(abs(s) for s in samples))
+    mean = sum(samples) / n
+    return [float(nch), sw_f, float(rate), float(nf), rms, peak, mean, nf / rate]
 
 
 def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[float]:
@@ -645,76 +725,7 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
     and `fake=True` remains the md5-derived stand-in with the same
     shape contract for payloads this parser cannot handle."""
     if modality == "image" and content[:8] == _PNG_SIG:
-        import zlib
-
-        pos, ihdr, idat = 8, None, bytearray()
-        while pos + 8 <= len(content):
-            (length,) = struct.unpack_from(">I", content, pos)
-            ctype = content[pos + 4 : pos + 8]
-            if ctype == b"IHDR":
-                ihdr = content[pos + 8 : pos + 8 + length]
-            elif ctype == b"IDAT":
-                idat += content[pos + 8 : pos + 8 + length]
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length  # length + type + data + crc
-        if ihdr is None:
-            raise NotImplementedError("PNG without IHDR chunk")
-        w, h, depth, color, comp, filt_m, interlace = struct.unpack(
-            ">IIBBBBB", ihdr
-        )
-        if depth != 8 or color not in (2, 6) or comp != 0 or filt_m != 0 or interlace != 0:
-            raise NotImplementedError(
-                f"PNG decode supports 8-bit RGB/RGBA non-interlaced only "
-                f"(depth={depth}, color_type={color}, interlace={interlace})"
-            )
-        bpp = 3 if color == 2 else 4
-        stride = w * bpp
-        raw = zlib.decompress(bytes(idat))
-        if len(raw) != h * (stride + 1):
-            raise NotImplementedError(
-                f"PNG scanline payload {len(raw)} != expected {h * (stride + 1)}"
-            )
-        sum_r = sum_g = sum_b = 0
-        prev = bytes(stride)
-        for y in range(h):
-            off = y * (stride + 1)
-            f = raw[off]
-            line = bytearray(raw[off + 1 : off + 1 + stride])
-            if f == 0:
-                pass
-            elif f == 1:  # Sub
-                for i in range(bpp, stride):
-                    line[i] = (line[i] + line[i - bpp]) & 0xFF
-            elif f == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif f == 3:  # Average
-                for i in range(stride):
-                    left = line[i - bpp] if i >= bpp else 0
-                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif f == 4:  # Paeth
-                for i in range(stride):
-                    left = line[i - bpp] if i >= bpp else 0
-                    ul = prev[i - bpp] if i >= bpp else 0
-                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-            else:
-                raise NotImplementedError(f"PNG filter type {f}")
-            sum_r += sum(line[0::bpp])
-            sum_g += sum(line[1::bpp])
-            sum_b += sum(line[2::bpp])
-            prev = bytes(line)
-        n = w * h
-        return [
-            float(w),
-            float(h),
-            float(8 * bpp),
-            float(n),
-            sum_r / n,
-            sum_g / n,
-            sum_b / n,
-            float(len(content)),
-        ]
+        return _decode_png(content)
     if modality == "image" and content[:2] == b"BM":
         _magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", content, 0)
         _dib, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
@@ -744,40 +755,7 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
             float(len(content)),
         ]
     if modality == "audio" and content[:4] == b"RIFF":
-        # Peek the fmt tag before handing off: stdlib ``wave`` only
-        # reads PCM (tag 1); G.711 log-PCM (tags 6/7) decodes here.
-        fpos = content.find(b"fmt ")
-        fmt_tag = struct.unpack_from("<H", content, fpos + 8)[0] if fpos >= 0 else -1
-        if fmt_tag == _WAVE_FORMAT_PCM or fpos < 0:
-            with wave.open(io.BytesIO(content), "rb") as w:
-                nch = w.getnchannels()
-                sw = w.getsampwidth()
-                rate = w.getframerate()
-                nf = w.getnframes()
-                raw = w.readframes(nf)
-            samples = struct.unpack(f"<{nf * nch}h", raw)
-            sw_f = float(sw)
-        elif fmt_tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
-            _tag, nch, rate = struct.unpack_from("<HHI", content, fpos + 8)
-            dpos = content.find(b"data")
-            if dpos < 0:
-                raise NotImplementedError("G.711 WAV without a data chunk")
-            (dsize,) = struct.unpack_from("<I", content, dpos + 4)
-            codes = content[dpos + 8 : dpos + 8 + dsize]
-            table = _ULAW_TABLE if fmt_tag == _WAVE_FORMAT_MULAW else _ALAW_TABLE
-            samples = [table[c] for c in codes]
-            nf = len(samples) // nch
-            sw_f = 1.0  # stored width: one codeword byte per sample
-        else:
-            raise NotImplementedError(
-                f"WAV format tag {fmt_tag} needs a codec "
-                "(PCM=1 and G.711 A-law=6 / mu-law=7 are supported)"
-            )
-        n = len(samples)
-        rms = math.sqrt(sum(s * s for s in samples) / n)
-        peak = float(max(abs(s) for s in samples))
-        mean = sum(samples) / n
-        return [float(nch), sw_f, float(rate), float(nf), rms, peak, mean, nf / rate]
+        return _decode_wav(content)
     if modality == "video" and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         apos = content.find(b"avih")
         usec_per_frame, _mbps, _pad, _flags, _nf_hdr, _init, _streams, _sugg, w, h = (
@@ -1136,20 +1114,4 @@ def video_features_df(docs: DataFrame) -> DataFrame:
     out. The AVI round-trip is real — containers are built
     byte-for-byte and parsed back by ``decode_asset`` inside the
     batch — and the payload never crosses a stage boundary."""
-    ids = docs.where(F.col("doc_id") % 3 == 2).select(
-        F.col("doc_id").alias("asset_id")
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [avi_payload(int(a)) for a in pdf["asset_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": ["video"] * len(payloads),
-                    "n_bytes": [len(c) for c in payloads],
-                    "feature": [decode_asset(c, "video") for c in payloads],
-                }
-            )
-
-    return ids.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _fused_features_df(docs, 2, "video", avi_payload)

@@ -62,13 +62,20 @@ def _default_bucket_count(spark) -> int:
 
     ``spark.sql.shuffle.partitions`` may be non-numeric ("auto" under
     some AQE setups) — fall back to the cluster's default parallelism
-    rather than throwing from inside a query plan. Always capped at
+    rather than throwing from inside a query plan. The environments
+    where "auto" actually occurs are Spark Connect sessions, and
+    there ``spark.sparkContext`` itself raises (NOT_IMPLEMENTED), so
+    the parallelism probe gets its own guard with Spark's classic
+    default (200) as the last resort. Always capped at
     ``_MAX_DEFAULT_PARTS`` (the n² offset fan-out must not track a
     large cluster's partition config)."""
     try:
         conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        conf_parts = spark.sparkContext.defaultParallelism
+        try:
+            conf_parts = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no sparkContext on the client
+            conf_parts = 200
     return max(1, min(conf_parts, _MAX_DEFAULT_PARTS))
 
 

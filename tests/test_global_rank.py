@@ -311,6 +311,18 @@ def test_parts_validation_and_non_integer_config_fallback(spark, frame):
     assert _default_bucket_count(_stub("auto", 10**6)) == _MAX_DEFAULT_PARTS
     assert _default_bucket_count(_stub("200", 32)) == 200
     assert _default_bucket_count(_stub("0", 32)) == 1  # never below 1
+
+    # Spark Connect shape (r10 self-review): "auto" config AND no
+    # sparkContext on the client — the helper must land on the classic
+    # 200 default, not raise from inside plan construction.
+    class _ConnectStub:
+        conf = SimpleNamespace(get=lambda _k: "auto")
+
+        @property
+        def sparkContext(self):
+            raise NotImplementedError("[NOT_IMPLEMENTED] sparkContext")
+
+    assert _default_bucket_count(_ConnectStub()) == 200
     # Live session: the numeric config path still drives the plan.
     assert _default_bucket_count(spark) == max(
         1,

@@ -622,3 +622,33 @@ def test_compressed_codecs_through_arrow_stage(spark):
         else:
             w, h, nf = avi_dims(i)
             assert (r.feature[0], r.feature[1], r.feature[2]) == (w, h, nf)
+
+
+def test_g711_decode_survives_metadata_chunk_containing_fourcc_bytes():
+    """Regression (r10 self-review, reproduced live): chunk location
+    must be a real RIFF walk, not content.find — a LIST/INFO metadata
+    chunk BEFORE the data chunk whose text contains the substrings
+    'data' or 'fmt ' must not be mistaken for the chunk headers. The
+    decoder previously returned silently wrong statistics here."""
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+        g711_wav_payload,
+    )
+
+    base = g711_wav_payload(7, "ulaw")
+    want = decode_asset(base, "audio", fake=False)
+    # Rebuild the container with a LIST/INFO chunk (ICMT comment
+    # holding decoy fourcc bytes) inserted before fmt/fact/data.
+    icmt = b"my database has fmt data everywhere"
+    if len(icmt) & 1:
+        icmt += b"\0"
+    info = b"INFO" + b"ICMT" + _struct.pack("<I", len(icmt)) + icmt
+    lst = b"LIST" + _struct.pack("<I", len(info)) + info
+    body = lst + base[12:]  # original chunks after RIFF/WAVE header
+    tampered = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    got = decode_asset(tampered, "audio", fake=False)
+    # file_bytes is not part of the audio layout; every field must
+    # survive the metadata chunk untouched.
+    assert got == want
