@@ -111,6 +111,61 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
     return True
 
 
+# Degraded-window retry protocol (r10 verdict task 4): the r10 closing
+# record regressed 38% raw purely because the sandbox degraded mid-run
+# (canary slowdown 1.574) — every outlier cold-exonerated afterwards,
+# but adjudicating 4-5 queries by hand each round is toil. Rule: when
+# the canary says the window degraded (slowdown > DEGRADED_SLOWDOWN),
+# re-run ONCE each query whose reading exceeds RETRY_FACTOR x its
+# prior committed record value, keep the min, and stamp the record
+# with BOTH readings so the artifact is self-adjudicating.
+DEGRADED_SLOWDOWN = 1.3
+RETRY_FACTOR = 2.0
+
+
+def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict[str, float]:
+    """Most recent committed BENCH_FULL_r{K}.json with K < rno and a
+    matching scale factor (naming: BENCH_FULL_r{N} holds the r{N-1}
+    closing run, so the previous round's record is K = rno - 1 when
+    present). Returns its per-query dict, or {} when no prior record
+    qualifies — retries then simply don't fire."""
+    best: dict[str, float] = {}
+    best_k = -1
+    for p in repo.glob("BENCH_FULL_r*.json"):
+        try:
+            k = int(p.stem.removeprefix("BENCH_FULL_r"))
+            loaded = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if (
+            best_k < k < rno
+            and isinstance(loaded, dict)
+            and str(loaded.get("sf")) == sf
+            and isinstance(loaded.get("queries"), dict)
+        ):
+            best, best_k = loaded["queries"], k
+    return best
+
+
+def retry_plan(
+    current: dict[str, float],
+    prior: dict[str, float],
+    slowdown: float,
+    *,
+    degraded_slowdown: float = DEGRADED_SLOWDOWN,
+    retry_factor: float = RETRY_FACTOR,
+) -> list[str]:
+    """Names owed a second reading under the degraded-window rule.
+    Pure so tests can exercise the protocol without a Spark session."""
+    if slowdown <= degraded_slowdown:
+        return []
+    return [
+        n
+        for n, t in current.items()
+        if n in prior and prior[n] > 0 and t > retry_factor * prior[n]
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -237,6 +292,39 @@ def main() -> None:
     )
     canary["raw"] = canary_raw
 
+    # Degraded-window retries (rule + rationale at retry_plan above).
+    # Runs AFTER the end canary so the slowdown reading reflects the
+    # suite as timed; the retry readings land in the same record under
+    # "degraded_retry" with both values. SPARK_GRAFT_BENCH_FORCE_DEGRADED
+    # forces the path for protocol tests on a healthy machine.
+    import __spark_entry__ as _entry
+
+    repo = pathlib.Path(__file__).resolve().parent
+    rno = _entry._next_round()
+    forced = bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE_DEGRADED"))
+    eff_slowdown = max(canary["slowdown"], 9.9) if forced else canary["slowdown"]
+    prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    prior = (
+        json.loads(pathlib.Path(prior_env).read_text()).get("queries", {})
+        if prior_env
+        else load_prior_record(repo, rno, sf)
+    )
+    retried: dict[str, dict[str, float]] = {}
+    for name in retry_plan(full, prior, eff_slowdown):
+        second = _time_queries([name])[name]
+        retried[name] = {"first": full[name], "retry": second}
+        full[name] = min(full[name], second)
+        if name in timings:
+            timings[name] = full[name]
+    if retried:
+        print(
+            f"bench: degraded window (canary slowdown "
+            f"{canary['slowdown']}{' FORCED' if forced else ''}) — "
+            f"re-ran {len(retried)} queries >{RETRY_FACTOR}x prior, "
+            "kept min; both readings stamped under degraded_retry",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # Persist the COMPLETE per-query dict to a committed file: the
     # driver's BENCH artifact keeps only a 2000-char tail of stdout,
@@ -247,17 +335,15 @@ def main() -> None:
     if len(full) > len(timings):
         # Round discovery lives in ONE place: the driver contract's
         # CORRECTNESS scan (code-review r06 — a second glob+regex copy
-        # here could silently diverge from the contract's naming).
-        import __spark_entry__ as _entry
-
-        repo = pathlib.Path(__file__).resolve().parent
-        rno = _entry._next_round()
+        # here could silently diverge from the contract's naming);
+        # repo/rno were computed once above, before the retry pass.
         write_full_record(
             repo / f"BENCH_FULL_r{rno:02d}.json",
             sf,
             {
                 "sf": sf,
                 "canary": canary,
+                "degraded_retry": retried,
                 "headline_suite_seconds": total,
                 "full_suite_seconds": round(sum(full.values()), 3),
                 "queries": full,
@@ -274,6 +360,8 @@ def main() -> None:
     record["queries"] = timings
     record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     record["canary"] = canary
+    if retried:
+        record["degraded_retry"] = retried
     record["unit"] = "sec"
     if len(full) > len(timings):
         record["full_suite_seconds"] = round(sum(full.values()), 3)

@@ -661,12 +661,21 @@ def _decode_wav(content: bytes) -> list[float]:
             rate = w.getframerate()
             nf = w.getnframes()
             raw = w.readframes(nf)
+        if sw != 2:
+            raise NotImplementedError(
+                f"PCM WAV decode supports 16-bit samples only "
+                f"(sampwidth={sw}); 8/24/32-bit PCM needs a codec"
+            )
         samples = struct.unpack(f"<{nf * nch}h", raw)
         sw_f = float(sw)
     elif fmt_tag in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
         _tag, nch, rate = struct.unpack_from("<HHI", content, fmt_off)
         if data_off is None:
             raise NotImplementedError("G.711 WAV without a data chunk")
+        if nch < 1:
+            raise NotImplementedError(
+                f"G.711 WAV with malformed fmt chunk (nChannels={nch})"
+            )
         codes = content[data_off : data_off + data_size]
         table = _ULAW_TABLE if fmt_tag == _WAVE_FORMAT_MULAW else _ALAW_TABLE
         samples = [table[c] for c in codes]
@@ -774,7 +783,8 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
                 struct.unpack_from("<BBBB", content, spos + 8 + 40 + 4 * i)
                 for i in range(256)
             ]  # entries are (B, G, R, reserved)
-        row_size = (3 * w + 3) // 4 * 4
+        else:  # uncompressed 24-bit DIB: dword-padded row stride
+            row_size = (3 * w + 3) // 4 * 4
         # walk the movi list chunk by chunk (never content.find on
         # frame fourccs — pixel bytes could contain them)
         p = content.find(b"movi") + 4

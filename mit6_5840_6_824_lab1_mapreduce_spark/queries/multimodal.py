@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..plans import table
 from ._util import det_round_col, det_round_sql
-from .registry import query, staged_query
+from .registry import query
 
 
 @query(
@@ -412,22 +412,19 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- r10
-# Staged (r09 verdict task 5: registration holds at 155; new families
-# enter STAGED with written justification and wait for a freed seat
-# window). Justification: the three round-10 COMPRESSED codecs —
-# PNG (stdlib zlib), G.711 mu-law/A-law (ITU-T formulas), MS-RLE8
-# (run-length) — are pytest-proven against cross-format and
-# reference-implementation oracles, but a driver-checked row needs a
-# @query seat. These three stage the decode paths with fully
-# arithmetic DuckDB oracles (the G.711 expansion and the RLE8
-# palette are closed-form integer arithmetic, recomputed by the
-# oracle from the generation contract — the same
-# container-built-on-one-side / recomputed-on-the-other proof shape
-# as the uncompressed decode queries above).
+# ------------------------------------------------- r10 (promoted r11)
+# The three round-10 COMPRESSED codecs — PNG (stdlib zlib), G.711
+# mu-law/A-law (ITU-T formulas), MS-RLE8 (run-length) — staged under
+# the hold-at-155 seat policy in r10 and promoted to @query in r11
+# (r10 verdict task 1; registry 158). Each carries a fully arithmetic
+# DuckDB oracle (the G.711 expansion and the RLE8 palette are
+# closed-form integer arithmetic, recomputed by the oracle from the
+# generation contract — the same container-built-on-one-side /
+# recomputed-on-the-other proof shape as the uncompressed decode
+# queries above).
 
 
-@staged_query(
+@query(
     "multimodal_png_decode",
     oracle=rf"""
     WITH img AS (
@@ -481,7 +478,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "multimodal_g711_decode",
     oracle=rf"""
     WITH audio AS (
@@ -551,7 +548,7 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "multimodal_rle8_decode",
     oracle=rf"""
     WITH vid AS (

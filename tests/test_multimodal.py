@@ -652,3 +652,41 @@ def test_g711_decode_survives_metadata_chunk_containing_fourcc_bytes():
     # file_bytes is not part of the audio layout; every field must
     # survive the metadata chunk untouched.
     assert got == want
+
+
+def test_pcm_non_16bit_sampwidth_rejected():
+    """ADVICE r11: an 8-bit PCM WAV must raise the dispatcher's
+    promised NotImplementedError, not an opaque struct.error from the
+    hard-coded '<...h' unpack."""
+    import io as _io
+    import wave as _wave
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+    )
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM
+        w.setframerate(8000)
+        w.writeframes(bytes(range(64)))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_asset(buf.getvalue(), "audio", fake=False)
+
+
+def test_g711_zero_channel_fmt_rejected():
+    """ADVICE r11: a malformed G.711 container claiming nChannels=0
+    must raise a loud codec error, not ZeroDivisionError."""
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+        g711_wav_payload,
+    )
+
+    payload = bytearray(g711_wav_payload(5))
+    fpos = payload.find(b"fmt ")
+    _struct.pack_into("<H", payload, fpos + 10, 0)  # nChannels = 0
+    with pytest.raises(NotImplementedError, match="nChannels=0"):
+        decode_asset(bytes(payload), "audio", fake=False)

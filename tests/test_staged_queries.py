@@ -405,18 +405,17 @@ def test_r09_promotion_complete():
     """r09 flipped the four r08-staged decorators to @query: every
     name is registered with an oracle and driver-visible. STAGED
     emptied at r09; r10 staged the three compressed-codec decode
-    queries (hold-at-155 policy) — anything else lingering in STAGED
-    is a leak this pin catches (the r10 cohort's own battery is
+    queries (hold-at-155 policy) and r11 promoted them (registry
+    158) — STAGED is empty again, and anything lingering there is a
+    leak this pin catches (the r10 cohort's own battery is
     tests/test_staged_r10.py)."""
     import __spark_entry__ as entry
-
-    from tests.test_staged_r10 import STAGED_R10
 
     for name in PROMOTED_R09:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle, name
         assert name in entry.queries(), name
-    assert sorted(STAGED) == sorted(STAGED_R10)
+    assert STAGED == {}
 
 
 @pytest.mark.parametrize("name", PROMOTED_R09)

@@ -4,8 +4,9 @@ PNG (stdlib zlib), G.711 mu-law/A-law (ITU-T formulas), MS-RLE8
 (run-length) — each with a fully arithmetic DuckDB oracle that
 re-derives the decoded statistics from the generation contract (for
 G.711 the oracle is a complete second implementation of the codec in
-integer SQL). Staged, not registered: r09 verdict task 5 holds
-registration at 155; these wait for a freed seat window. Two-scale
+integer SQL). Staged in r10 (hold-at-155 policy), PROMOTED to the
+registry in r11 per the r10 verdict's task 1 — the battery keyed on
+these names survives the flip, per the r08→r09 precedent. Two-scale
 oracle parity + the registry sweep's degenerate fixtures; the
 codec-level unit coverage (cross-format oracles, reference-table
 bit-exactness, malformed-input rejection) lives in
@@ -28,20 +29,23 @@ STAGED_R10 = [
 ]
 
 
-def test_r10_cohort_is_staged_not_registered():
-    """Seat discipline: the r10 cohort must sit in STAGED (regression
-    pin for the hold-at-155 policy) with oracles attached; promotion
-    is a later round's one-word decorator flip."""
+def test_r10_cohort_promoted():
+    """r11 flipped the three r10-staged decorators to @query (r10
+    verdict task 1): every name is registered with an oracle and
+    driver-visible, and none lingers in STAGED."""
+    import __spark_entry__ as entry
+
     for name in STAGED_R10:
-        assert name in STAGED, name
-        assert name not in REGISTRY, name
-        assert STAGED[name].oracle, name
+        assert name in REGISTRY, name
+        assert name not in STAGED, name
+        assert REGISTRY[name].oracle, name
+        assert name in entry.queries(), name
 
 
 @pytest.mark.parametrize("name", STAGED_R10)
 @pytest.mark.parametrize("sf_dir", [SF_CORRECT, SF_SMOKE])
 def test_staged_r10_oracle_parity(spark, name, sf_dir):
-    e = STAGED[name]
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, sf_dir, name)
 
 
@@ -59,7 +63,7 @@ def degen_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("name", STAGED_R10)
 def test_staged_r10_degenerate_parity(spark, name, degen_dir):
     """Same adversarial fixtures as the registry-wide sweep — a
-    staged query diverging on them would fail the sweep the round
-    it's promoted, so it fails here first."""
-    e = STAGED[name]
+    promoted query diverging on them would fail the sweep, so it
+    fails here first."""
+    e = REGISTRY[name]
     compare_query(spark, e.fn, e.oracle, degen_dir, name)

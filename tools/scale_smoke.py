@@ -106,6 +106,15 @@ QUERIES = [
     "dedup_minhash_keep",
     "dedup_simhash_pairs",
     "sketch_kmv_merge",
+    # Round-11 (verdict r10 task 5): the three promoted compressed
+    # codecs. PNG is the one decode with a plausible scale cliff —
+    # its defilter is a per-scanline Python loop inside the Arrow
+    # stage (operators/multimodal.py notes it honestly) — so measure
+    # it at 10x rather than argue; G.711 and RLE8 ride along to put
+    # wall + shuffle numbers next to every codec the registry ships.
+    "multimodal_png_decode",
+    "multimodal_g711_decode",
+    "multimodal_rle8_decode",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
