@@ -120,16 +120,17 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
 # prior committed record value, keep the min, and stamp the record
 # with BOTH readings so the artifact is self-adjudicating.
 DEGRADED_SLOWDOWN = 1.3
+DEGRADED_FLOOR_FACTOR = 1.5
 RETRY_FACTOR = 2.0
 
 
-def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict[str, float]:
+def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
     """Most recent committed BENCH_FULL_r{K}.json with K < rno and a
     matching scale factor (naming: BENCH_FULL_r{N} holds the r{N-1}
     closing run, so the previous round's record is K = rno - 1 when
-    present). Returns its per-query dict, or {} when no prior record
-    qualifies — retries then simply don't fire."""
-    best: dict[str, float] = {}
+    present). Returns the whole record dict (queries + canary), or {}
+    when no prior record qualifies — retries then simply don't fire."""
+    best: dict = {}
     best_k = -1
     for p in repo.glob("BENCH_FULL_r*.json"):
         try:
@@ -143,27 +144,87 @@ def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict[str, float]
             and str(loaded.get("sf")) == sf
             and isinstance(loaded.get("queries"), dict)
         ):
-            best, best_k = loaded["queries"], k
+            best, best_k = loaded, k
     return best
+
+
+def _session_canary_floor(canary: dict) -> float | None:
+    """min(start, mid, end) — the same session floor bench_compare
+    normalizes by (the JIT-warm minimum contention can only push UP)."""
+    pts = [
+        canary.get(k)
+        for k in ("start", "mid", "end")
+        if isinstance(canary.get(k), (int, float))
+    ]
+    return min(pts) if pts else None
+
+
+def window_degraded(
+    canary: dict,
+    prior_record: dict,
+    *,
+    slowdown_limit: float = DEGRADED_SLOWDOWN,
+    floor_factor: float = DEGRADED_FLOOR_FACTOR,
+) -> bool:
+    """True when the contention canary says this run's window was
+    degraded. Two independent signals (code-review r11 closed the gap
+    the second covers): (a) mid/end drifted above start — load arrived
+    DURING the run (the r10 signature, slowdown 1.574); (b) this
+    session's canary floor sits far above the prior committed record's
+    floor — UNIFORM whole-run contention, which the slowdown ratio is
+    structurally blind to because all three checkpoints are equally
+    elevated. Committed history on this machine class floors at
+    ~0.11-0.14 s and cross-session drift reads ~1.1-1.25x, so >1.5x
+    is contention, not machine lottery."""
+    if canary.get("slowdown", 0) > slowdown_limit:
+        return True
+    this_floor = _session_canary_floor(canary)
+    prior_floor = _session_canary_floor(prior_record.get("canary") or {})
+    return (
+        this_floor is not None
+        and prior_floor is not None
+        and prior_floor > 0
+        and this_floor / prior_floor > floor_factor
+    )
 
 
 def retry_plan(
     current: dict[str, float],
     prior: dict[str, float],
-    slowdown: float,
+    degraded: bool,
     *,
-    degraded_slowdown: float = DEGRADED_SLOWDOWN,
     retry_factor: float = RETRY_FACTOR,
 ) -> list[str]:
     """Names owed a second reading under the degraded-window rule.
     Pure so tests can exercise the protocol without a Spark session."""
-    if slowdown <= degraded_slowdown:
+    if not degraded:
         return []
     return [
         n
         for n, t in current.items()
         if n in prior and prior[n] > 0 and t > retry_factor * prior[n]
     ]
+
+
+def apply_retries(
+    time_queries,
+    names: list[str],
+    full: dict[str, float],
+    timings: dict[str, float],
+) -> dict[str, dict[str, float]]:
+    """Re-run each flagged query ONCE via ``time_queries``, stamp both
+    readings, and keep the min in ``full`` (and in ``timings`` when
+    the name is a headline query, so the headline total recomputes
+    from the min). Extracted from main() so the unit battery exercises
+    the REAL stamping logic, not a transcription of it (review r11)."""
+    retried: dict[str, dict[str, float]] = {}
+    for name in names:
+        second = time_queries([name])[name]
+        retried[name] = {"first": full[name], "retry": second}
+        full[name] = min(full[name], second)
+        if name in timings:
+            timings[name] = full[name]
+    return retried
 
 
 def main() -> None:
@@ -301,21 +362,33 @@ def main() -> None:
 
     repo = pathlib.Path(__file__).resolve().parent
     rno = _entry._next_round()
-    forced = bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE_DEGRADED"))
-    eff_slowdown = max(canary["slowdown"], 9.9) if forced else canary["slowdown"]
+    # Explicit "1" only (review r11: bare truthiness made =0 force too).
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE_DEGRADED") == "1"
+    prior_rec = load_prior_record(repo, rno, sf)
     prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
-    prior = (
-        json.loads(pathlib.Path(prior_env).read_text()).get("queries", {})
-        if prior_env
-        else load_prior_record(repo, rno, sf)
+    if prior_env:
+        # Test-only override; guarded so a bad path/file can never
+        # crash AFTER the whole timed suite (the r07 failure class
+        # write_full_record was hardened against — review r11).
+        try:
+            loaded = json.loads(pathlib.Path(prior_env).read_text())
+            if isinstance(loaded, dict) and isinstance(
+                loaded.get("queries"), dict
+            ):
+                prior_rec = loaded
+            else:
+                raise ValueError("no queries dict")
+        except (OSError, ValueError) as exc:
+            print(
+                f"bench: ignoring SPARK_GRAFT_BENCH_PRIOR={prior_env!r}"
+                f" ({exc}); falling back to the committed prior",
+                file=sys.stderr,
+            )
+    prior = prior_rec.get("queries", {})
+    degraded = forced or window_degraded(canary, prior_rec)
+    retried = apply_retries(
+        _time_queries, retry_plan(full, prior, degraded), full, timings
     )
-    retried: dict[str, dict[str, float]] = {}
-    for name in retry_plan(full, prior, eff_slowdown):
-        second = _time_queries([name])[name]
-        retried[name] = {"first": full[name], "retry": second}
-        full[name] = min(full[name], second)
-        if name in timings:
-            timings[name] = full[name]
     if retried:
         print(
             f"bench: degraded window (canary slowdown "

@@ -687,6 +687,14 @@ def _decode_wav(content: bytes) -> list[float]:
             "(PCM=1 and G.711 A-law=6 / mu-law=7 are supported)"
         )
     n = len(samples)
+    # Degenerate containers fail loudly, never with ZeroDivisionError /
+    # ValueError-from-empty-max (review r11, same class as the
+    # sampwidth / nChannels guards): zero decoded samples (empty data
+    # chunk or 0-frame PCM) and zero sample rate have no statistics.
+    if n == 0 or rate <= 0:
+        raise NotImplementedError(
+            f"WAV with no decodable audio (n_samples={n}, rate={rate})"
+        )
     rms = math.sqrt(sum(s * s for s in samples) / n)
     peak = float(max(abs(s) for s in samples))
     mean = sum(samples) / n

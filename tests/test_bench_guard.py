@@ -55,15 +55,42 @@ def test_corrupt_existing_record_is_replaced(tmp_path):
 # --------------------- degraded-window retry protocol (r10 verdict 4)
 
 
+def test_window_degraded_slowdown_signal():
+    """Signal (a): mid/end drifted above start — the r10 signature."""
+    from bench import window_degraded
+
+    prior = {"canary": {"start": 0.12, "mid": 0.11, "end": 0.12}}
+    assert not window_degraded({"slowdown": 1.0, "start": 0.12,
+                                "mid": 0.12, "end": 0.12}, prior)
+    assert not window_degraded({"slowdown": 1.3, "start": 0.12,
+                                "mid": 0.12, "end": 0.12}, prior)  # at, not above
+    assert window_degraded({"slowdown": 1.574, "start": 0.12,
+                            "mid": 0.19, "end": 0.18}, prior)
+
+
+def test_window_degraded_uniform_floor_signal():
+    """Signal (b), review r11: contention present from BEFORE suite
+    start elevates all three checkpoints equally — slowdown ~1.0 —
+    but the session floor vs the prior record's floor catches it."""
+    from bench import window_degraded
+
+    prior = {"canary": {"start": 0.14, "mid": 0.12, "end": 0.11}}
+    uniform_busy = {"slowdown": 1.03, "start": 0.35, "mid": 0.34, "end": 0.36}
+    assert window_degraded(uniform_busy, prior)
+    # Normal cross-session machine drift (~1.2x) must NOT trigger.
+    drift = {"slowdown": 1.07, "start": 0.14, "mid": 0.13, "end": 0.14}
+    assert not window_degraded(drift, prior)
+    # No prior record -> only the slowdown signal can fire.
+    assert not window_degraded(uniform_busy, {})
+
+
 def test_retry_plan_fires_only_when_degraded():
-    """Healthy canary → no retries, regardless of readings."""
     from bench import retry_plan
 
     cur = {"a": 10.0, "b": 0.5}
     prior = {"a": 1.0, "b": 0.4}
-    assert retry_plan(cur, prior, slowdown=1.0) == []
-    assert retry_plan(cur, prior, slowdown=1.3) == []  # at, not above
-    assert retry_plan(cur, prior, slowdown=1.574) == ["a"]
+    assert retry_plan(cur, prior, False) == []
+    assert retry_plan(cur, prior, True) == ["a"]
 
 
 def test_retry_plan_selects_only_outliers_with_priors():
@@ -73,13 +100,13 @@ def test_retry_plan_selects_only_outliers_with_priors():
 
     cur = {"slow": 5.0, "edge": 2.0, "fine": 1.1, "new": 60.0, "z": 9.0}
     prior = {"slow": 1.0, "edge": 1.0, "fine": 1.0, "z": 0.0}
-    assert retry_plan(cur, prior, slowdown=2.0) == ["slow"]
+    assert retry_plan(cur, prior, True) == ["slow"]
 
 
 def test_retry_plan_empty_prior_record():
     from bench import retry_plan
 
-    assert retry_plan({"a": 99.0}, {}, slowdown=9.9) == []
+    assert retry_plan({"a": 99.0}, {}, True) == []
 
 
 def test_load_prior_record_picks_highest_round_below_current(tmp_path):
@@ -99,37 +126,42 @@ def test_load_prior_record_picks_highest_round_below_current(tmp_path):
     w(11, "0.01", {"q": 3.0})          # wrong sf — skip
     (tmp_path / "BENCH_FULL_r12.json").write_text("{not json")  # skip
     got = load_prior_record(pathlib.Path(tmp_path), 12, "0.1")
-    assert got == {"q": 2.0}
+    assert got["queries"] == {"q": 2.0}
     # Current round's own record (K == rno) is never the prior.
-    assert load_prior_record(pathlib.Path(tmp_path), 10, "0.1") == {"q": 1.0}
+    assert load_prior_record(
+        pathlib.Path(tmp_path), 10, "0.1"
+    )["queries"] == {"q": 1.0}
     assert load_prior_record(pathlib.Path(tmp_path), 9, "0.1") == {}
 
 
-def test_synthetic_degraded_run_stamps_both_readings(tmp_path, monkeypatch):
+def test_apply_retries_stamps_both_readings_and_keeps_min():
     """End-to-end protocol exercise on a SYNTHETIC degraded window
-    (r10 verdict task 4 'exercised' clause), without a Spark session:
-    replay main()'s retry block verbatim against a stub timer and a
-    fabricated prior record, then assert the record shape — both
-    readings stamped, min kept, totals recomputed from the min."""
-    from bench import retry_plan
+    (r10 verdict task 4 'exercised' clause) against the REAL helper
+    main() calls (review r11: no transcribed copy to drift): stub
+    timer, fabricated prior, assert both readings stamped, min kept,
+    headline dict updated, untouched queries untouched."""
+    from bench import apply_retries, retry_plan
 
     prior = {"fast": 1.0, "spiked": 2.0}
     timings = {"fast": 1.1, "spiked": 9.0}   # spiked read 4.5x prior
-    full = dict(timings)
+    full = dict(timings) | {"tail_only": 7.0}
     calls = []
 
-    def _time_queries(names):              # stub: the "cold" re-run
+    def time_queries(names):               # stub: the "cold" re-run
         calls.extend(names)
         return {n: 3.0 for n in names}
 
-    retried = {}
-    for name in retry_plan(full, prior, slowdown=1.574):
-        second = _time_queries([name])[name]
-        retried[name] = {"first": full[name], "retry": second}
-        full[name] = min(full[name], second)
-        if name in timings:
-            timings[name] = full[name]
+    names = retry_plan(full, prior, True)
+    retried = apply_retries(time_queries, names, full, timings)
     assert calls == ["spiked"]             # exactly one re-run, once
     assert retried == {"spiked": {"first": 9.0, "retry": 3.0}}
     assert full["spiked"] == 3.0 and timings["spiked"] == 3.0
-    assert full["fast"] == 1.1             # untouched
+    assert full["fast"] == 1.1 and full["tail_only"] == 7.0
+
+    # A retry that comes back SLOWER never regresses the record.
+    full2, timings2 = {"q": 2.0}, {"q": 2.0}
+    retried2 = apply_retries(
+        lambda ns: {n: 5.0 for n in ns}, ["q"], full2, timings2
+    )
+    assert retried2 == {"q": {"first": 2.0, "retry": 5.0}}
+    assert full2["q"] == 2.0 and timings2["q"] == 2.0

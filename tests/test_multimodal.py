@@ -690,3 +690,38 @@ def test_g711_zero_channel_fmt_rejected():
     _struct.pack_into("<H", payload, fpos + 10, 0)  # nChannels = 0
     with pytest.raises(NotImplementedError, match="nChannels=0"):
         decode_asset(bytes(payload), "audio", fake=False)
+
+
+def test_wav_empty_data_and_zero_rate_rejected():
+    """Review r11: zero decoded samples (empty G.711 data chunk) and a
+    zero sample rate must raise the loud codec error, never
+    ZeroDivisionError / ValueError-from-empty-max."""
+    import struct as _struct
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        decode_asset,
+        g711_wav_payload,
+    )
+
+    base = bytearray(g711_wav_payload(5))
+    fpos = base.find(b"fmt ")
+
+    # Empty data chunk: truncate the data payload to zero bytes. Walk
+    # the chunks to find the data header (never .find on fourccs).
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.multimodal import (
+        _wav_chunks,
+    )
+
+    for cc, off, size in _wav_chunks(bytes(base)):
+        if cc == b"data":
+            empty = bytes(base[: off - 8]) + b"data" + _struct.pack("<I", 0)
+            break
+    empty = b"RIFF" + _struct.pack("<I", len(empty) - 8 + 4) + empty[8:]
+    with pytest.raises(NotImplementedError, match="n_samples=0"):
+        decode_asset(empty, "audio", fake=False)
+
+    # Zero sample rate in the fmt chunk.
+    zero_rate = bytearray(g711_wav_payload(5))
+    _struct.pack_into("<I", zero_rate, fpos + 12, 0)  # nSamplesPerSec = 0
+    with pytest.raises(NotImplementedError, match="rate=0"):
+        decode_asset(bytes(zero_rate), "audio", fake=False)
