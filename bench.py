@@ -111,17 +111,27 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
     return True
 
 
-# Degraded-window retry protocol (r10 verdict task 4): the r10 closing
-# record regressed 38% raw purely because the sandbox degraded mid-run
-# (canary slowdown 1.574) — every outlier cold-exonerated afterwards,
-# but adjudicating 4-5 queries by hand each round is toil. Rule: when
-# the canary says the window degraded (slowdown > DEGRADED_SLOWDOWN),
-# re-run ONCE each query whose reading exceeds RETRY_FACTOR x its
-# prior committed record value, keep the min, and stamp the record
-# with BOTH readings so the artifact is self-adjudicating.
+# Outlier retry protocol (r10 verdict task 4, widened r11): the r10
+# closing record regressed 38% raw purely because the sandbox degraded
+# mid-run (canary slowdown 1.574) — every outlier cold-exonerated
+# afterwards, but adjudicating 4-5 queries by hand each round is toil.
+# Rule: any query reading > RETRY_FACTOR x its prior committed record
+# value re-runs ONCE (worst ratio first, capped at RETRY_CAP re-runs
+# to bound added wall on a hosed machine); the record keeps the min
+# and stamps BOTH readings under "retries" so the artifact is
+# self-adjudicating. The retries fire REGARDLESS of the canary: the
+# r11 twin evidence showed bursty contention inflating individual
+# queries 3-4.6x while all three canary checkpoints read clean
+# (slowdown 1.0, floor at the machine's committed history), so a
+# canary gate would sleep through exactly the windows that need
+# adjudication. A reproducing slowdown (real plan regression) survives
+# the min — both readings read high and the record still shows it.
+# The canary verdict (window_degraded) is kept as a forensic stamp on
+# the record, not as a retry gate.
 DEGRADED_SLOWDOWN = 1.3
 DEGRADED_FLOOR_FACTOR = 1.5
 RETRY_FACTOR = 2.0
+RETRY_CAP = 12
 
 
 def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
@@ -191,19 +201,21 @@ def window_degraded(
 def retry_plan(
     current: dict[str, float],
     prior: dict[str, float],
-    degraded: bool,
     *,
     retry_factor: float = RETRY_FACTOR,
+    cap: int = RETRY_CAP,
 ) -> list[str]:
-    """Names owed a second reading under the degraded-window rule.
-    Pure so tests can exercise the protocol without a Spark session."""
-    if not degraded:
-        return []
-    return [
-        n
+    """Names owed a second reading: every query > retry_factor x its
+    prior committed reading, worst ratio first, at most ``cap`` names
+    (protocol rationale in the module comment above). Pure so tests
+    can exercise the protocol without a Spark session."""
+    flagged = [
+        (t / prior[n], n)
         for n, t in current.items()
         if n in prior and prior[n] > 0 and t > retry_factor * prior[n]
     ]
+    flagged.sort(key=lambda p: (-p[0], p[1]))
+    return [n for _, n in flagged[:cap]]
 
 
 def apply_retries(
@@ -353,17 +365,16 @@ def main() -> None:
     )
     canary["raw"] = canary_raw
 
-    # Degraded-window retries (rule + rationale at retry_plan above).
-    # Runs AFTER the end canary so the slowdown reading reflects the
-    # suite as timed; the retry readings land in the same record under
-    # "degraded_retry" with both values. SPARK_GRAFT_BENCH_FORCE_DEGRADED
-    # forces the path for protocol tests on a healthy machine.
+    # Outlier retries (rule + rationale in the module comment above
+    # retry_plan). Run AFTER the end canary so the slowdown reading
+    # reflects the suite as timed; the retry readings land in the same
+    # record under "retries" with both values. Protocol tests exercise
+    # this live by pointing SPARK_GRAFT_BENCH_PRIOR at a fabricated
+    # prior with tiny readings.
     import __spark_entry__ as _entry
 
     repo = pathlib.Path(__file__).resolve().parent
     rno = _entry._next_round()
-    # Explicit "1" only (review r11: bare truthiness made =0 force too).
-    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE_DEGRADED") == "1"
     prior_rec = load_prior_record(repo, rno, sf)
     prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
     if prior_env:
@@ -385,16 +396,17 @@ def main() -> None:
                 file=sys.stderr,
             )
     prior = prior_rec.get("queries", {})
-    degraded = forced or window_degraded(canary, prior_rec)
+    # Forensic stamp only — never gates the retries (see module comment).
+    canary["window_degraded"] = window_degraded(canary, prior_rec)
     retried = apply_retries(
-        _time_queries, retry_plan(full, prior, degraded), full, timings
+        _time_queries, retry_plan(full, prior), full, timings
     )
     if retried:
         print(
-            f"bench: degraded window (canary slowdown "
-            f"{canary['slowdown']}{' FORCED' if forced else ''}) — "
-            f"re-ran {len(retried)} queries >{RETRY_FACTOR}x prior, "
-            "kept min; both readings stamped under degraded_retry",
+            f"bench: re-ran {len(retried)} queries >{RETRY_FACTOR}x "
+            f"their prior record (canary slowdown {canary['slowdown']}, "
+            f"window_degraded={canary['window_degraded']}), kept min; "
+            "both readings stamped under 'retries'",
             file=sys.stderr,
         )
 
@@ -416,7 +428,7 @@ def main() -> None:
             {
                 "sf": sf,
                 "canary": canary,
-                "degraded_retry": retried,
+                "retries": retried,
                 "headline_suite_seconds": total,
                 "full_suite_seconds": round(sum(full.values()), 3),
                 "queries": full,
@@ -434,7 +446,7 @@ def main() -> None:
     record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     record["canary"] = canary
     if retried:
-        record["degraded_retry"] = retried
+        record["retries"] = retried
     record["unit"] = "sec"
     if len(full) > len(timings):
         record["full_suite_seconds"] = round(sum(full.values()), 3)

@@ -84,13 +84,31 @@ def test_window_degraded_uniform_floor_signal():
     assert not window_degraded(uniform_busy, {})
 
 
-def test_retry_plan_fires_only_when_degraded():
+def test_retry_plan_fires_on_outliers_regardless_of_canary():
+    """r11 twin evidence: bursty contention inflates individual
+    queries while every canary checkpoint reads clean — the retries
+    are outlier-driven, not canary-gated."""
     from bench import retry_plan
 
     cur = {"a": 10.0, "b": 0.5}
     prior = {"a": 1.0, "b": 0.4}
-    assert retry_plan(cur, prior, False) == []
-    assert retry_plan(cur, prior, True) == ["a"]
+    assert retry_plan(cur, prior) == ["a"]
+    assert retry_plan({"a": 1.9}, {"a": 1.0}) == []  # <=2x: quiet
+
+
+def test_retry_plan_worst_first_and_capped():
+    """Ratios order the plan (worst first, name tiebreak) and the cap
+    bounds added wall on a hosed machine."""
+    from bench import retry_plan
+
+    cur = {f"q{i}": float(i) for i in range(3, 10)}   # q3..q9
+    prior = {f"q{i}": 1.0 for i in range(3, 10)}      # ratios 3..9
+    assert retry_plan(cur, prior) == [
+        "q9", "q8", "q7", "q6", "q5", "q4", "q3"]
+    assert retry_plan(cur, prior, cap=3) == ["q9", "q8", "q7"]
+    # Name tiebreak at equal ratios: deterministic plan.
+    assert retry_plan({"b": 4.0, "a": 4.0}, {"a": 1.0, "b": 1.0},
+                      cap=1) == ["a"]
 
 
 def test_retry_plan_selects_only_outliers_with_priors():
@@ -100,13 +118,13 @@ def test_retry_plan_selects_only_outliers_with_priors():
 
     cur = {"slow": 5.0, "edge": 2.0, "fine": 1.1, "new": 60.0, "z": 9.0}
     prior = {"slow": 1.0, "edge": 1.0, "fine": 1.0, "z": 0.0}
-    assert retry_plan(cur, prior, True) == ["slow"]
+    assert retry_plan(cur, prior) == ["slow"]
 
 
 def test_retry_plan_empty_prior_record():
     from bench import retry_plan
 
-    assert retry_plan({"a": 99.0}, {}, True) == []
+    assert retry_plan({"a": 99.0}, {}) == []
 
 
 def test_load_prior_record_picks_highest_round_below_current(tmp_path):
@@ -151,7 +169,7 @@ def test_apply_retries_stamps_both_readings_and_keeps_min():
         calls.extend(names)
         return {n: 3.0 for n in names}
 
-    names = retry_plan(full, prior, True)
+    names = retry_plan(full, prior)
     retried = apply_retries(time_queries, names, full, timings)
     assert calls == ["spiked"]             # exactly one re-run, once
     assert retried == {"spiked": {"first": 9.0, "retry": 3.0}}
