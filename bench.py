@@ -134,14 +134,15 @@ RETRY_FACTOR = 2.0
 RETRY_CAP = 12
 
 
-def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
-    """Most recent committed BENCH_FULL_r{K}.json with K < rno and a
-    matching scale factor (naming: BENCH_FULL_r{N} holds the r{N-1}
-    closing run, so the previous round's record is K = rno - 1 when
-    present). Returns the whole record dict (queries + canary), or {}
-    when no prior record qualifies — retries then simply don't fire."""
-    best: dict = {}
-    best_k = -1
+RETRY_LOOKBACK = 3
+
+
+def _qualifying_records(
+    repo: pathlib.Path, rno: int, sf: str
+) -> list[tuple[int, dict]]:
+    """Committed BENCH_FULL_r{K}.json records with K < rno, a matching
+    scale factor and a queries dict, newest first."""
+    recs: list[tuple[int, dict]] = []
     for p in repo.glob("BENCH_FULL_r*.json"):
         try:
             k = int(p.stem.removeprefix("BENCH_FULL_r"))
@@ -149,13 +150,45 @@ def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
         except (OSError, ValueError):
             continue
         if (
-            best_k < k < rno
+            k < rno
             and isinstance(loaded, dict)
             and str(loaded.get("sf")) == sf
             and isinstance(loaded.get("queries"), dict)
         ):
-            best, best_k = loaded, k
-    return best
+            recs.append((k, loaded))
+    recs.sort(key=lambda kr: -kr[0])
+    return recs
+
+
+def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
+    """Most recent qualifying record (naming: BENCH_FULL_r{N} holds
+    the r{N-1} closing run, so the previous round's record is
+    K = rno - 1 when present). Returns the whole record dict
+    (queries + canary) — the canary-floor forensic stamp reads this —
+    or {} when none qualifies."""
+    recs = _qualifying_records(repo, rno, sf)
+    return recs[0][1] if recs else {}
+
+
+def retry_baseline(
+    repo: pathlib.Path, rno: int, sf: str, *, lookback: int = RETRY_LOOKBACK
+) -> dict[str, float]:
+    """Per-query MIN across the most recent ``lookback`` qualifying
+    records — the honest retry threshold base. Contention only ever
+    ADDS time, so the min of recent committed readings is the best
+    available cold floor; using the latest record alone would let a
+    degraded prior (e.g. the r10 closing record, suite readings up to
+    5x cold) raise the >2x thresholds and silence exactly the retries
+    the next round needs. Returns {} when no record qualifies —
+    retries then simply don't fire."""
+    baseline: dict[str, float] = {}
+    for _, rec in _qualifying_records(repo, rno, sf)[:lookback]:
+        for n, v in rec["queries"].items():
+            if isinstance(v, (int, float)) and (
+                n not in baseline or v < baseline[n]
+            ):
+                baseline[n] = float(v)
+    return baseline
 
 
 def _session_canary_floor(canary: dict) -> float | None:
@@ -376,10 +409,12 @@ def main() -> None:
     repo = pathlib.Path(__file__).resolve().parent
     rno = _entry._next_round()
     prior_rec = load_prior_record(repo, rno, sf)
+    prior = retry_baseline(repo, rno, sf)
     prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
     if prior_env:
-        # Test-only override; guarded so a bad path/file can never
-        # crash AFTER the whole timed suite (the r07 failure class
+        # Test-only override (replaces both the baseline and the
+        # canary record); guarded so a bad path/file can never crash
+        # AFTER the whole timed suite (the r07 failure class
         # write_full_record was hardened against — review r11).
         try:
             loaded = json.loads(pathlib.Path(prior_env).read_text())
@@ -387,6 +422,7 @@ def main() -> None:
                 loaded.get("queries"), dict
             ):
                 prior_rec = loaded
+                prior = loaded["queries"]
             else:
                 raise ValueError("no queries dict")
         except (OSError, ValueError) as exc:
@@ -395,7 +431,6 @@ def main() -> None:
                 f" ({exc}); falling back to the committed prior",
                 file=sys.stderr,
             )
-    prior = prior_rec.get("queries", {})
     # Forensic stamp only — never gates the retries (see module comment).
     canary["window_degraded"] = window_degraded(canary, prior_rec)
     retried = apply_retries(

@@ -183,3 +183,33 @@ def test_apply_retries_stamps_both_readings_and_keeps_min():
     )
     assert retried2 == {"q": {"first": 2.0, "retry": 5.0}}
     assert full2["q"] == 2.0 and timings2["q"] == 2.0
+
+
+def test_retry_baseline_min_across_lookback(tmp_path):
+    """The retry threshold base is the per-query MIN over the last
+    `lookback` qualifying records — a degraded latest record must not
+    raise the >2x thresholds (r11: the r10 closing record reads up to
+    5x cold for several queries)."""
+    import pathlib
+
+    from bench import load_prior_record, retry_baseline
+
+    def w(k, sf, queries, canary=None):
+        rec = {"sf": sf, "queries": queries}
+        if canary:
+            rec["canary"] = canary
+        (tmp_path / f"BENCH_FULL_r{k:02d}.json").write_text(json.dumps(rec))
+
+    w(8, "0.1", {"q": 3.0, "old_only": 1.0})
+    w(9, "0.1", {"q": 2.0, "both": 4.0})
+    w(10, "0.1", {"q": 9.0, "both": 5.0, "new_only": 7.0},
+      canary={"start": 0.14, "mid": 0.22, "end": 0.2})
+    base = retry_baseline(pathlib.Path(tmp_path), 11, "0.1")
+    assert base == {"q": 2.0, "old_only": 1.0, "both": 4.0, "new_only": 7.0}
+    # lookback window slides: with lookback=1 only r10 counts.
+    assert retry_baseline(pathlib.Path(tmp_path), 11, "0.1", lookback=1) == {
+        "q": 9.0, "both": 5.0, "new_only": 7.0}
+    # The canary forensic stamp still reads the LATEST record only.
+    assert load_prior_record(pathlib.Path(tmp_path), 11, "0.1")[
+        "canary"]["start"] == 0.14
+    assert retry_baseline(pathlib.Path(tmp_path), 8, "0.1") == {}
