@@ -116,8 +116,8 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
 # mid-run (canary slowdown 1.574) — every outlier cold-exonerated
 # afterwards, but adjudicating 4-5 queries by hand each round is toil.
 # Rule: any query reading > RETRY_FACTOR x its prior committed record
-# value re-runs ONCE (worst ratio first, capped at RETRY_CAP re-runs
-# to bound added wall on a hosed machine); the record keeps the min
+# value re-runs ONCE (worst ratio first, wall-clock-budgeted to bound
+# added time on a hosed machine); the record keeps the min
 # and stamps BOTH readings under "retries" so the artifact is
 # self-adjudicating. The retries fire REGARDLESS of the canary: the
 # r11 twin evidence showed bursty contention inflating individual
@@ -128,22 +128,64 @@ def write_full_record(out_path: pathlib.Path, sf: str, payload: dict) -> bool:
 # the min — both readings read high and the record still shows it.
 # The canary verdict (window_degraded) is kept as a forensic stamp on
 # the record, not as a retry gate.
+# r12 (verdict r11 task 3): the r11 closing record hit the fixed
+# 12-retry cap exactly, so a 13th outlier on a badly degraded window
+# would have gone unadjudicated (its inflated first reading standing
+# as the record value with no stamp). The count cap is gone: EVERY
+# >2x outlier is owed a retry, worst ratio first, bounded instead by
+# a wall-clock budget on the retries themselves (r11's 12 retries
+# cost ~30s total, so 240s covers any realistic saturated window)
+# with a floor of RETRY_MIN_COUNT retries that always run no matter
+# how slow the hosed machine makes each one. Outliers the budget
+# can't reach are still STAMPED (first reading + "skipped": reason)
+# so the artifact shows they went unadjudicated rather than silently
+# standing as clean readings.
 DEGRADED_SLOWDOWN = 1.3
 DEGRADED_FLOOR_FACTOR = 1.5
 RETRY_FACTOR = 2.0
-RETRY_CAP = 12
+RETRY_MIN_COUNT = 12
+RETRY_BUDGET_SEC = 240.0
 
 
 RETRY_LOOKBACK = 3
 
 
+def _tracked_bench_files(repo: pathlib.Path) -> set[str] | None:
+    """Basenames of git-TRACKED BENCH_FULL records, or None when git
+    can't answer (not a repo / binary missing) — callers then fall
+    back to trusting the glob. Closes the ADVICE r11 gap: an
+    untracked leftover (an aborted run's file, a stale driver-sim
+    artifact) must not feed the retry baseline or the prior-record
+    lookup, which are defined over COMMITTED history."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(repo), "ls-files", "--", "BENCH_FULL_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    if out.returncode != 0:
+        return None
+    return {line.strip() for line in out.stdout.splitlines() if line.strip()}
+
+
 def _qualifying_records(
     repo: pathlib.Path, rno: int, sf: str
 ) -> list[tuple[int, dict]]:
-    """Committed BENCH_FULL_r{K}.json records with K < rno, a matching
-    scale factor and a queries dict, newest first."""
+    """Git-tracked BENCH_FULL_r{K}.json records with K < rno, a
+    matching scale factor and a queries dict, newest first. Tracked-
+    ness comes from `git ls-files` (untracked leftovers are excluded);
+    when git is unavailable — unit tests in a tmp dir — every readable
+    record qualifies."""
+    tracked = _tracked_bench_files(repo)
     recs: list[tuple[int, dict]] = []
     for p in repo.glob("BENCH_FULL_r*.json"):
+        if tracked is not None and p.name not in tracked:
+            continue
         try:
             k = int(p.stem.removeprefix("BENCH_FULL_r"))
             loaded = json.loads(p.read_text())
@@ -164,10 +206,20 @@ def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
     """Most recent qualifying record (naming: BENCH_FULL_r{N} holds
     the r{N-1} closing run, so the previous round's record is
     K = rno - 1 when present). Returns the whole record dict
-    (queries + canary) — the canary-floor forensic stamp reads this —
-    or {} when none qualifies."""
+    (queries + canary) or {} when none qualifies."""
     recs = _qualifying_records(repo, rno, sf)
     return recs[0][1] if recs else {}
+
+
+def load_prior_records(
+    repo: pathlib.Path, rno: int, sf: str, *, lookback: int = RETRY_LOOKBACK
+) -> list[dict]:
+    """The last ``lookback`` qualifying records, newest first — the
+    canary-floor comparisons (window_degraded, normalized_headline)
+    read the MIN floor across these, mirroring retry_baseline: a
+    single degraded prior record must not inflate prior_floor and
+    silence the uniform-contention stamp (ADVICE r11)."""
+    return [rec for _, rec in _qualifying_records(repo, rno, sf)[:lookback]]
 
 
 def retry_baseline(
@@ -202,9 +254,26 @@ def _session_canary_floor(canary: dict) -> float | None:
     return min(pts) if pts else None
 
 
+def _prior_canary_floor(prior_records: dict | list[dict]) -> float | None:
+    """MIN session-canary floor across the given committed records
+    (a single record dict is accepted for convenience). The min, not
+    the latest: a degraded prior record inflates its own floor, and
+    comparing against it alone would silence the uniform-contention
+    stamp — the same masking problem retry_baseline fixes for query
+    timings (ADVICE r11)."""
+    if isinstance(prior_records, dict):
+        prior_records = [prior_records] if prior_records else []
+    floors = [
+        f
+        for rec in prior_records
+        if (f := _session_canary_floor(rec.get("canary") or {})) is not None
+    ]
+    return min(floors) if floors else None
+
+
 def window_degraded(
     canary: dict,
-    prior_record: dict,
+    prior_records: dict | list[dict],
     *,
     slowdown_limit: float = DEGRADED_SLOWDOWN,
     floor_factor: float = DEGRADED_FLOOR_FACTOR,
@@ -213,16 +282,17 @@ def window_degraded(
     degraded. Two independent signals (code-review r11 closed the gap
     the second covers): (a) mid/end drifted above start — load arrived
     DURING the run (the r10 signature, slowdown 1.574); (b) this
-    session's canary floor sits far above the prior committed record's
-    floor — UNIFORM whole-run contention, which the slowdown ratio is
-    structurally blind to because all three checkpoints are equally
-    elevated. Committed history on this machine class floors at
-    ~0.11-0.14 s and cross-session drift reads ~1.1-1.25x, so >1.5x
-    is contention, not machine lottery."""
+    session's canary floor sits far above the best committed floor
+    over the last RETRY_LOOKBACK records — UNIFORM whole-run
+    contention, which the slowdown ratio is structurally blind to
+    because all three checkpoints are equally elevated. Committed
+    history on this machine class floors at ~0.11-0.14 s and
+    cross-session drift reads ~1.1-1.25x, so >1.5x is contention, not
+    machine lottery."""
     if canary.get("slowdown", 0) > slowdown_limit:
         return True
     this_floor = _session_canary_floor(canary)
-    prior_floor = _session_canary_floor(prior_record.get("canary") or {})
+    prior_floor = _prior_canary_floor(prior_records)
     return (
         this_floor is not None
         and prior_floor is not None
@@ -231,24 +301,44 @@ def window_degraded(
     )
 
 
+def normalized_headline(
+    total: float, canary: dict, prior_records: dict | list[dict]
+) -> float | None:
+    """headline x prior_floor / this_floor — the canary-normalized
+    headline (verdict r11 stretch 7). Four rounds of twin protocol
+    showed the raw suite number whipsaws with sandbox contention while
+    the canary-floor-normalized number stays flat; stamping it IN the
+    record ends the per-round manual re-derivation. prior_floor is the
+    min over the last RETRY_LOOKBACK committed records (same basis as
+    window_degraded signal b). None when either floor is unavailable —
+    consumers must fall back to the raw headline."""
+    this_floor = _session_canary_floor(canary)
+    prior_floor = _prior_canary_floor(prior_records)
+    if this_floor is None or prior_floor is None or this_floor <= 0:
+        return None
+    return round(total * prior_floor / this_floor, 3)
+
+
 def retry_plan(
     current: dict[str, float],
     prior: dict[str, float],
     *,
     retry_factor: float = RETRY_FACTOR,
-    cap: int = RETRY_CAP,
+    cap: int | None = None,
 ) -> list[str]:
-    """Names owed a second reading: every query > retry_factor x its
-    prior committed reading, worst ratio first, at most ``cap`` names
-    (protocol rationale in the module comment above). Pure so tests
-    can exercise the protocol without a Spark session."""
+    """Names owed a second reading: EVERY query > retry_factor x its
+    prior committed reading, worst ratio first (protocol rationale in
+    the module comment above — the r12 protocol bounds added wall via
+    apply_retries' wall-clock budget, not a count cap; ``cap`` remains
+    for tests). Pure so tests can exercise the protocol without a
+    Spark session."""
     flagged = [
         (t / prior[n], n)
         for n, t in current.items()
         if n in prior and prior[n] > 0 and t > retry_factor * prior[n]
     ]
     flagged.sort(key=lambda p: (-p[0], p[1]))
-    return [n for _, n in flagged[:cap]]
+    return [n for _, n in flagged[: len(flagged) if cap is None else cap]]
 
 
 def apply_retries(
@@ -256,15 +346,43 @@ def apply_retries(
     names: list[str],
     full: dict[str, float],
     timings: dict[str, float],
-) -> dict[str, dict[str, float]]:
+    *,
+    budget_sec: float = RETRY_BUDGET_SEC,
+    min_count: int = RETRY_MIN_COUNT,
+    clock=time.perf_counter,
+) -> dict[str, dict]:
     """Re-run each flagged query ONCE via ``time_queries``, stamp both
     readings, and keep the min in ``full`` (and in ``timings`` when
     the name is a headline query, so the headline total recomputes
     from the min). Extracted from main() so the unit battery exercises
-    the REAL stamping logic, not a transcription of it (review r11)."""
-    retried: dict[str, dict[str, float]] = {}
-    for name in names:
-        second = time_queries([name])[name]
+    the REAL stamping logic, not a transcription of it (review r11).
+
+    r12 bounds (verdict r11 task 3): retries run worst-first until the
+    wall-clock budget is spent, with the first ``min_count`` always
+    running regardless (the r11-cap behavior is the floor, never less
+    adjudication than before). Budget-exhausted names are stamped
+    {"first": x, "skipped": "retry budget exhausted"} so unadjudicated
+    outliers are visible in the artifact. A retry that THROWS (ADVICE
+    r11, medium: most likely on exactly the hosed machine the protocol
+    targets) keeps the first reading, stamps the error, and continues
+    — the record is always written."""
+    retried: dict[str, dict] = {}
+    t_start = clock()
+    for done, name in enumerate(names):
+        if done >= min_count and clock() - t_start >= budget_sec:
+            retried[name] = {
+                "first": full[name],
+                "skipped": "retry budget exhausted",
+            }
+            continue
+        try:
+            second = time_queries([name])[name]
+        except Exception as exc:  # noqa: BLE001 — stamp, never crash
+            retried[name] = {
+                "first": full[name],
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+            continue
         retried[name] = {"first": full[name], "retry": second}
         full[name] = min(full[name], second)
         if name in timings:
@@ -408,12 +526,12 @@ def main() -> None:
 
     repo = pathlib.Path(__file__).resolve().parent
     rno = _entry._next_round()
-    prior_rec = load_prior_record(repo, rno, sf)
+    prior_recs = load_prior_records(repo, rno, sf)
     prior = retry_baseline(repo, rno, sf)
     prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
     if prior_env:
         # Test-only override (replaces both the baseline and the
-        # canary record); guarded so a bad path/file can never crash
+        # canary records); guarded so a bad path/file can never crash
         # AFTER the whole timed suite (the r07 failure class
         # write_full_record was hardened against — review r11).
         try:
@@ -421,7 +539,7 @@ def main() -> None:
             if isinstance(loaded, dict) and isinstance(
                 loaded.get("queries"), dict
             ):
-                prior_rec = loaded
+                prior_recs = [loaded]
                 prior = loaded["queries"]
             else:
                 raise ValueError("no queries dict")
@@ -432,20 +550,24 @@ def main() -> None:
                 file=sys.stderr,
             )
     # Forensic stamp only — never gates the retries (see module comment).
-    canary["window_degraded"] = window_degraded(canary, prior_rec)
+    canary["window_degraded"] = window_degraded(canary, prior_recs)
     retried = apply_retries(
         _time_queries, retry_plan(full, prior), full, timings
     )
     if retried:
+        n_skipped = sum(1 for r in retried.values() if "skipped" in r)
+        n_err = sum(1 for r in retried.values() if "error" in r)
         print(
-            f"bench: re-ran {len(retried)} queries >{RETRY_FACTOR}x "
+            f"bench: adjudicated {len(retried)} queries >{RETRY_FACTOR}x "
             f"their prior record (canary slowdown {canary['slowdown']}, "
-            f"window_degraded={canary['window_degraded']}), kept min; "
-            "both readings stamped under 'retries'",
+            f"window_degraded={canary['window_degraded']}; "
+            f"{n_skipped} budget-skipped, {n_err} errored), kept min; "
+            "all readings stamped under 'retries'",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    headline_norm = normalized_headline(total, canary, prior_recs)
     # Persist the COMPLETE per-query dict to a committed file: the
     # driver's BENCH artifact keeps only a 2000-char tail of stdout,
     # which truncates ~90 of the full-suite timings — regressions
@@ -465,6 +587,7 @@ def main() -> None:
                 "canary": canary,
                 "retries": retried,
                 "headline_suite_seconds": total,
+                "headline_normalized": headline_norm,
                 "full_suite_seconds": round(sum(full.values()), 3),
                 "queries": full,
             },
@@ -486,6 +609,8 @@ def main() -> None:
     if len(full) > len(timings):
         record["full_suite_seconds"] = round(sum(full.values()), 3)
     record["metric"] = "headline_suite_seconds"
+    if headline_norm is not None:
+        record["headline_normalized"] = headline_norm
     record["headline_suite_seconds"] = total
     record["value"] = total
     print(json.dumps(record))

@@ -97,8 +97,9 @@ def test_retry_plan_fires_on_outliers_regardless_of_canary():
 
 
 def test_retry_plan_worst_first_and_capped():
-    """Ratios order the plan (worst first, name tiebreak) and the cap
-    bounds added wall on a hosed machine."""
+    """Ratios order the plan (worst first, name tiebreak); the count
+    cap is test-only since r12 — added wall is bounded by
+    apply_retries' wall-clock budget instead."""
     from bench import retry_plan
 
     cur = {f"q{i}": float(i) for i in range(3, 10)}   # q3..q9
@@ -109,6 +110,19 @@ def test_retry_plan_worst_first_and_capped():
     # Name tiebreak at equal ratios: deterministic plan.
     assert retry_plan({"b": 4.0, "a": 4.0}, {"a": 1.0, "b": 1.0},
                       cap=1) == ["a"]
+
+
+def test_retry_plan_uncapped_by_default():
+    """r12 (verdict r11 task 3): the r11 record hit the old fixed cap
+    at exactly 12/12 — a 13th outlier went unplanned. The default plan
+    now includes EVERY >2x outlier (saturated-window shape: 20)."""
+    from bench import retry_plan
+
+    cur = {f"q{i:02d}": 10.0 for i in range(20)}
+    prior = {f"q{i:02d}": 1.0 for i in range(20)}
+    plan = retry_plan(cur, prior)
+    assert len(plan) == 20
+    assert sorted(plan) == sorted(cur)
 
 
 def test_retry_plan_selects_only_outliers_with_priors():
@@ -183,6 +197,156 @@ def test_apply_retries_stamps_both_readings_and_keeps_min():
     )
     assert retried2 == {"q": {"first": 2.0, "retry": 5.0}}
     assert full2["q"] == 2.0 and timings2["q"] == 2.0
+
+
+def test_apply_retries_budget_exhaustion_stamps_skipped():
+    """r12 wall-clock budget: the first min_count retries always run;
+    past both the floor and the budget, remaining outliers are stamped
+    skipped (first reading kept, visible in the artifact) instead of
+    standing unadjudicated as clean readings."""
+    from bench import apply_retries
+
+    names = ["a", "b", "c", "d"]          # worst-first order
+    full = {n: 9.0 for n in names}
+    timings = {"a": 9.0, "d": 9.0}        # two are headline queries
+    ticks = iter([0.0, 5.0, 15.0])        # start, check@c, check@d
+
+    retried = apply_retries(
+        lambda ns: {n: 3.0 for n in ns},
+        names,
+        full,
+        timings,
+        budget_sec=10.0,
+        min_count=2,
+        clock=lambda: next(ticks),
+    )
+    # a, b ran under the min_count floor; c ran at 5s (< budget);
+    # d hit the exhausted budget at 15s.
+    assert retried["a"] == {"first": 9.0, "retry": 3.0}
+    assert retried["b"] == {"first": 9.0, "retry": 3.0}
+    assert retried["c"] == {"first": 9.0, "retry": 3.0}
+    assert retried["d"] == {"first": 9.0, "skipped": "retry budget exhausted"}
+    assert full == {"a": 3.0, "b": 3.0, "c": 3.0, "d": 9.0}
+    assert timings == {"a": 3.0, "d": 9.0}  # skipped keeps first reading
+
+
+def test_apply_retries_min_count_floor_ignores_budget():
+    """A hosed machine can make each retry slower than the whole
+    budget — the first min_count retries run anyway (never LESS
+    adjudication than the r11 protocol gave)."""
+    from bench import apply_retries
+
+    names = [f"q{i}" for i in range(4)]
+    full = {n: 9.0 for n in names}
+    ticks = iter([0.0, 500.0, 600.0])     # budget blown immediately
+
+    retried = apply_retries(
+        lambda ns: {n: 1.0 for n in ns},
+        names,
+        full,
+        {},
+        budget_sec=10.0,
+        min_count=2,
+        clock=lambda: next(ticks),
+    )
+    assert retried["q0"]["retry"] == 1.0 and retried["q1"]["retry"] == 1.0
+    assert retried["q2"] == {"first": 9.0, "skipped": "retry budget exhausted"}
+    assert retried["q3"] == {"first": 9.0, "skipped": "retry budget exhausted"}
+
+
+def test_apply_retries_exception_keeps_first_reading_and_continues():
+    """ADVICE r11 (medium): a transient failure on one retry — most
+    likely on exactly the degraded machine the protocol targets — must
+    not crash main() after the whole timed suite. The first reading
+    stands, the error is stamped, later retries still run."""
+    from bench import apply_retries
+
+    full = {"boom": 9.0, "ok": 8.0}
+    timings = {"boom": 9.0, "ok": 8.0}
+
+    def time_queries(names):
+        if names == ["boom"]:
+            raise RuntimeError("executor lost")
+        return {n: 2.0 for n in names}
+
+    retried = apply_retries(time_queries, ["boom", "ok"], full, timings)
+    assert retried["boom"] == {
+        "first": 9.0, "error": "RuntimeError: executor lost"}
+    assert retried["ok"] == {"first": 8.0, "retry": 2.0}
+    assert full == {"boom": 9.0, "ok": 2.0}
+    assert timings == {"boom": 9.0, "ok": 2.0}
+
+
+def test_window_degraded_prior_floor_is_min_across_records():
+    """ADVICE r11: a degraded LATEST record (inflated floor) must not
+    silence the uniform-contention stamp when older committed records
+    show the machine's true floor — prior_floor is the min across the
+    lookback list, mirroring retry_baseline."""
+    from bench import window_degraded
+
+    degraded_latest = {"canary": {"start": 0.40, "mid": 0.38, "end": 0.41}}
+    clean_older = {"canary": {"start": 0.14, "mid": 0.12, "end": 0.11}}
+    uniform_busy = {"slowdown": 1.03, "start": 0.35, "mid": 0.34, "end": 0.36}
+    # vs the degraded latest alone: ratio ~0.92 — masked.
+    assert not window_degraded(uniform_busy, [degraded_latest])
+    # With the older clean record in the lookback: ratio ~3.1 — fires.
+    assert window_degraded(uniform_busy, [degraded_latest, clean_older])
+    # Records without canaries are skipped, not fatal.
+    assert window_degraded(uniform_busy, [{}, {"canary": {}}, clean_older])
+
+
+def test_normalized_headline():
+    """verdict r11 stretch 7: headline x prior_floor / this_floor,
+    prior_floor = min over the lookback records; None (fall back to
+    raw) when either floor is unavailable."""
+    from bench import normalized_headline
+
+    canary = {"start": 0.24, "mid": 0.22, "end": 0.23}   # floor 0.22
+    recs = [{"canary": {"start": 0.40, "mid": 0.39, "end": 0.41}},
+            {"canary": {"start": 0.14, "mid": 0.12, "end": 0.11}}]  # min 0.11
+    assert normalized_headline(100.0, canary, recs) == 50.0
+    # Single-record dict form accepted.
+    assert normalized_headline(100.0, canary, recs[1]) == 50.0
+    assert normalized_headline(100.0, canary, []) is None
+    assert normalized_headline(100.0, {}, recs) is None
+
+
+def test_qualifying_records_exclude_untracked(tmp_path):
+    """ADVICE r11: the retry baseline and prior-record lookup are
+    defined over COMMITTED history — an untracked leftover (aborted
+    run, stale driver-sim artifact) in a git repo must not feed them.
+    Outside a git repo (every other tmp_path test here) the filter is
+    inert and the glob is trusted."""
+    import pathlib
+    import subprocess
+
+    from bench import retry_baseline
+
+    def w(k, queries):
+        (tmp_path / f"BENCH_FULL_r{k:02d}.json").write_text(
+            json.dumps({"sf": "0.1", "queries": queries})
+        )
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True, capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        )
+
+    w(9, {"q": 2.0})
+    git("init", "-q")
+    git("add", "BENCH_FULL_r09.json")
+    git("commit", "-qm", "rec")
+    w(10, {"q": 0.001})                    # untracked leftover
+    base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
+    assert base == {"q": 2.0}              # the leftover is invisible
+    git("add", "BENCH_FULL_r10.json")
+    git("commit", "-qm", "rec2")
+    base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
+    assert base == {"q": 0.001}            # tracked now — qualifies
 
 
 def test_retry_baseline_min_across_lookback(tmp_path):

@@ -71,6 +71,22 @@ def main() -> None:
                   "readings — ratios are raw")
     old = old_doc["queries"]
     new = new_doc["queries"]
+
+    # Retry stamps (ADVICE r11): a committed value that is the MIN of
+    # two readings (the outlier-retry protocol) is best-of-2 while
+    # never-flagged queries carry single readings — mark those rows so
+    # cross-round deltas on them are read with the stamped pair.
+    def _retry_mark(doc: dict, name: str) -> str:
+        stamp = (doc.get("retries") or {}).get(name)
+        if not isinstance(stamp, dict):
+            return ""
+        if "skipped" in stamp:
+            return f" [retry SKIPPED, first={stamp.get('first')}]"
+        if "error" in stamp:
+            return f" [retry ERRORED, first={stamp.get('first')}]"
+        return (f" [retry-min: first={stamp.get('first')}"
+                f" retry={stamp.get('retry')}]")
+
     both = sorted(set(old) & set(new))
     print(f"overlap {len(both)} queries; "
           f"sum {sum(old[k] for k in both):.1f}s -> "
@@ -85,7 +101,16 @@ def main() -> None:
     for title, group in (("regressions", regs), ("improvements", imps)):
         print(f"{title} (x{thr:.2f}): {len(group)}")
         for k, o, n, r in group[:20]:
-            print(f"  {r:5.2f}x  {o:7.2f} -> {n:7.2f}  {k}")
+            marks = ""
+            for side, doc in (("old", old_doc), ("new", new_doc)):
+                m = _retry_mark(doc, k)
+                if m:
+                    marks += f" {side}:{m.strip()}"
+            print(f"  {r:5.2f}x  {o:7.2f} -> {n:7.2f}  {k}{marks}")
+    n_retried_new = len(new_doc.get("retries") or {})
+    if n_retried_new:
+        print(f"note: {n_retried_new} queries in {ns.new_file} carry retry "
+              "stamps (committed value = min of two readings)")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:

@@ -115,6 +115,19 @@ QUERIES = [
     "multimodal_png_decode",
     "multimodal_g711_decode",
     "multimodal_rle8_decode",
+    # Round-12 rotation (verdict r11 stretch 8): the five heaviest
+    # registered queries in the r11 closing record never 10x-measured.
+    # pipeline_corpus_stats exercises the one-scan multi-signal corpus
+    # aggregate; dedup_minhash_lsh (+_capped) is the uncapped/capped
+    # banded-LSH pair itself (components/keep ride it but the base
+    # candidate join was never smoked alone); dedup_ngram_jaccard is
+    # the pigeonhole n-gram band join; decontam_drop_list is the
+    # broadcast Bloom + semi-join screen over the full corpus.
+    "pipeline_corpus_stats",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "decontam_drop_list",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
