@@ -150,46 +150,59 @@ RETRY_BUDGET_SEC = 240.0
 RETRY_LOOKBACK = 3
 
 
-def _tracked_bench_files(repo: pathlib.Path) -> set[str] | None:
-    """Basenames of git-TRACKED BENCH_FULL records, or None when git
-    can't answer (not a repo / binary missing) — callers then fall
-    back to trusting the glob. Closes the ADVICE r11 gap: an
-    untracked leftover (an aborted run's file, a stale driver-sim
-    artifact) must not feed the retry baseline or the prior-record
-    lookup, which are defined over COMMITTED history."""
+def _git(repo: pathlib.Path, *args: str) -> str | None:
+    """stdout of a git command in ``repo``, or None when git can't
+    answer (not a repo / binary missing / non-zero exit)."""
     import subprocess
 
     try:
         out = subprocess.run(
-            ["git", "-C", str(repo), "ls-files", "--", "BENCH_FULL_r*.json"],
+            ["git", "-C", str(repo), *args],
             capture_output=True,
             text=True,
             timeout=10,
         )
     except (OSError, subprocess.SubprocessError):
         return None
-    if out.returncode != 0:
-        return None
-    return {line.strip() for line in out.stdout.splitlines() if line.strip()}
+    return out.stdout if out.returncode == 0 else None
 
 
 def _qualifying_records(
     repo: pathlib.Path, rno: int, sf: str
 ) -> list[tuple[int, dict]]:
-    """Git-tracked BENCH_FULL_r{K}.json records with K < rno, a
-    matching scale factor and a queries dict, newest first. Tracked-
-    ness comes from `git ls-files` (untracked leftovers are excluded);
-    when git is unavailable — unit tests in a tmp dir — every readable
-    record qualifies."""
-    tracked = _tracked_bench_files(repo)
+    """COMMITTED BENCH_FULL_r{K}.json records with K < rno, a matching
+    scale factor and a queries dict, newest first. In a git repo the
+    content comes from `git show HEAD:<name>` over the `git ls-files`
+    set — an untracked leftover, a staged-but-uncommitted file, or
+    uncommitted modifications to a tracked record (e.g. an in-round
+    twin run overwriting the committed record) can never feed the
+    retry baseline or the canary floors, which are defined over
+    committed history (ADVICE r11 + review r12). When git is
+    unavailable — unit tests in a tmp dir — every readable
+    working-tree record qualifies."""
+    ls = _git(repo, "ls-files", "--", "BENCH_FULL_r*.json")
+    tracked = (
+        None
+        if ls is None
+        else {line.strip() for line in ls.splitlines() if line.strip()}
+    )
     recs: list[tuple[int, dict]] = []
     for p in repo.glob("BENCH_FULL_r*.json"):
-        if tracked is not None and p.name not in tracked:
-            continue
+        if tracked is not None:
+            if p.name not in tracked:
+                continue
+            text = _git(repo, "show", f"HEAD:{p.name}")
+            if text is None:  # tracked but not in HEAD: not committed
+                continue
+        else:
+            try:
+                text = p.read_text()
+            except OSError:
+                continue
         try:
             k = int(p.stem.removeprefix("BENCH_FULL_r"))
-            loaded = json.loads(p.read_text())
-        except (OSError, ValueError):
+            loaded = json.loads(text)
+        except ValueError:
             continue
         if (
             k < rno
@@ -207,8 +220,8 @@ def load_prior_record(repo: pathlib.Path, rno: int, sf: str) -> dict:
     the r{N-1} closing run, so the previous round's record is
     K = rno - 1 when present). Returns the whole record dict
     (queries + canary) or {} when none qualifies."""
-    recs = _qualifying_records(repo, rno, sf)
-    return recs[0][1] if recs else {}
+    recs = load_prior_records(repo, rno, sf, lookback=1)
+    return recs[0] if recs else {}
 
 
 def load_prior_records(
@@ -216,31 +229,42 @@ def load_prior_records(
 ) -> list[dict]:
     """The last ``lookback`` qualifying records, newest first — the
     canary-floor comparisons (window_degraded, normalized_headline)
-    read the MIN floor across these, mirroring retry_baseline: a
-    single degraded prior record must not inflate prior_floor and
-    silence the uniform-contention stamp (ADVICE r11)."""
+    read the MIN floor across these, and baseline_from_records the
+    per-query min, mirroring each other's anti-masking rationale: a
+    single degraded prior record must not inflate the thresholds
+    (ADVICE r11). main() scans once and derives everything from the
+    returned list."""
     return [rec for _, rec in _qualifying_records(repo, rno, sf)[:lookback]]
 
 
-def retry_baseline(
-    repo: pathlib.Path, rno: int, sf: str, *, lookback: int = RETRY_LOOKBACK
-) -> dict[str, float]:
-    """Per-query MIN across the most recent ``lookback`` qualifying
-    records — the honest retry threshold base. Contention only ever
-    ADDS time, so the min of recent committed readings is the best
-    available cold floor; using the latest record alone would let a
-    degraded prior (e.g. the r10 closing record, suite readings up to
-    5x cold) raise the >2x thresholds and silence exactly the retries
-    the next round needs. Returns {} when no record qualifies —
-    retries then simply don't fire."""
+def baseline_from_records(records: list[dict]) -> dict[str, float]:
+    """Per-query MIN across the given committed records — the honest
+    retry threshold base. Contention only ever ADDS time, so the min
+    of recent committed readings is the best available cold floor;
+    using the latest record alone would let a degraded prior (e.g.
+    the r10 closing record, suite readings up to 5x cold) raise the
+    >2x thresholds and silence exactly the retries the next round
+    needs. Returns {} when no record qualifies — retries then simply
+    don't fire."""
     baseline: dict[str, float] = {}
-    for _, rec in _qualifying_records(repo, rno, sf)[:lookback]:
-        for n, v in rec["queries"].items():
+    for rec in records:
+        for n, v in rec.get("queries", {}).items():
             if isinstance(v, (int, float)) and (
                 n not in baseline or v < baseline[n]
             ):
                 baseline[n] = float(v)
     return baseline
+
+
+def retry_baseline(
+    repo: pathlib.Path, rno: int, sf: str, *, lookback: int = RETRY_LOOKBACK
+) -> dict[str, float]:
+    """baseline_from_records over the last ``lookback`` qualifying
+    records (one-call convenience; main() derives the same from its
+    single load_prior_records scan)."""
+    return baseline_from_records(
+        load_prior_records(repo, rno, sf, lookback=lookback)
+    )
 
 
 def _session_canary_floor(canary: dict) -> float | None:
@@ -314,7 +338,13 @@ def normalized_headline(
     consumers must fall back to the raw headline."""
     this_floor = _session_canary_floor(canary)
     prior_floor = _prior_canary_floor(prior_records)
-    if this_floor is None or prior_floor is None or this_floor <= 0:
+    if (
+        this_floor is None
+        or prior_floor is None
+        or this_floor <= 0
+        or prior_floor <= 0  # corrupt record: 0.0 floor would stamp a
+        # "100% speedup" — fall back to None, same guard window_degraded has
+    ):
         return None
     return round(total * prior_floor / this_floor, 3)
 
@@ -338,7 +368,7 @@ def retry_plan(
         if n in prior and prior[n] > 0 and t > retry_factor * prior[n]
     ]
     flagged.sort(key=lambda p: (-p[0], p[1]))
-    return [n for _, n in flagged[: len(flagged) if cap is None else cap]]
+    return [n for _, n in flagged[:cap]]
 
 
 def apply_retries(
@@ -526,8 +556,8 @@ def main() -> None:
 
     repo = pathlib.Path(__file__).resolve().parent
     rno = _entry._next_round()
-    prior_recs = load_prior_records(repo, rno, sf)
-    prior = retry_baseline(repo, rno, sf)
+    prior_recs = load_prior_records(repo, rno, sf)  # ONE record scan
+    prior = baseline_from_records(prior_recs)
     prior_env = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
     if prior_env:
         # Test-only override (replaces both the baseline and the

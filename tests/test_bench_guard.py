@@ -309,6 +309,11 @@ def test_normalized_headline():
     assert normalized_headline(100.0, canary, recs[1]) == 50.0
     assert normalized_headline(100.0, canary, []) is None
     assert normalized_headline(100.0, {}, recs) is None
+    # Corrupt record with a 0.0 floor must fall back to None, not
+    # stamp a "100% speedup" of 0.0 (review r12 — window_degraded
+    # guards prior_floor > 0; this is the same guard).
+    zero = [{"canary": {"start": 0.0, "mid": 0.0, "end": 0.0}}]
+    assert normalized_headline(100.0, canary, zero) is None
 
 
 def test_qualifying_records_exclude_untracked(tmp_path):
@@ -343,10 +348,18 @@ def test_qualifying_records_exclude_untracked(tmp_path):
     w(10, {"q": 0.001})                    # untracked leftover
     base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
     assert base == {"q": 2.0}              # the leftover is invisible
-    git("add", "BENCH_FULL_r10.json")
+    git("add", "BENCH_FULL_r10.json")      # staged but NOT committed
+    base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
+    assert base == {"q": 2.0}              # still invisible
     git("commit", "-qm", "rec2")
     base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
-    assert base == {"q": 0.001}            # tracked now — qualifies
+    assert base == {"q": 0.001}            # committed now — qualifies
+    # Uncommitted MODIFICATIONS to a tracked record (review r12: an
+    # in-round twin run overwrites the committed record in place) do
+    # not feed the baseline — content comes from HEAD, not the tree.
+    w(10, {"q": 0.000001})
+    base = retry_baseline(pathlib.Path(tmp_path), 12, "0.1")
+    assert base == {"q": 0.001}            # committed content, not tree
 
 
 def test_retry_baseline_min_across_lookback(tmp_path):

@@ -107,10 +107,17 @@ def main() -> None:
                 if m:
                     marks += f" {side}:{m.strip()}"
             print(f"  {r:5.2f}x  {o:7.2f} -> {n:7.2f}  {k}{marks}")
-    n_retried_new = len(new_doc.get("retries") or {})
-    if n_retried_new:
-        print(f"note: {n_retried_new} queries in {ns.new_file} carry retry "
-              "stamps (committed value = min of two readings)")
+    new_stamps = new_doc.get("retries") or {}
+    n_min = sum(1 for v in new_stamps.values()
+                if isinstance(v, dict) and "retry" in v)
+    n_other = len(new_stamps) - n_min
+    if new_stamps:
+        note = (f"note: {n_min} queries in {ns.new_file} carry retry stamps "
+                "(committed value = min of two readings)")
+        if n_other:
+            note += (f"; {n_other} more were flagged but NOT adjudicated "
+                     "(budget-skipped or errored — single first reading)")
+        print(note)
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
