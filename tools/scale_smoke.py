@@ -128,6 +128,17 @@ QUERIES = [
     "dedup_minhash_lsh_capped",
     "dedup_ngram_jaccard",
     "decontam_drop_list",
+    # Round-12, second batch (same rotation rationale): the next five
+    # heaviest never-10x-measured registered queries — the corpus-wide
+    # BPE apply (vocab-sized merge table over every token), k-means
+    # (iterative centroid loop over the full embedding table), the
+    # BPE segmenter's longest-match join, the multiprobe ANN read
+    # path, and the theta-sketch join-size estimate.
+    "corpus_bpe_token_counts",
+    "embedding_kmeans_centroids",
+    "tokenizer_bpe_segment",
+    "similarity_ann_multiprobe",
+    "sketch_join_estimate",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
