@@ -23,8 +23,18 @@ def sum_money(col: str | Column, alias: str) -> Column:
 
 
 def sum_expr(expr: Column, alias: str, dp: int = 2) -> Column:
-    """Exact decimal-expression sum → double, `dp` decimals."""
-    return F.round(F.sum(expr).cast("double"), dp).alias(alias)
+    """Exact decimal-expression sum, rounded to `dp` decimals IN
+    DECIMAL (HALF_UP — identical in Spark and DuckDB), THEN cast to
+    double. The rounding must happen before the double cast: the old
+    ``round(CAST(sum AS DOUBLE), dp)`` form is tie-divergent when the
+    exact sum carries more than `dp` decimals (disc_price/charge sums
+    have 4–6) and lands exactly on a half — Spark's round(double)
+    HALF_UPs the shortest decimal repr while DuckDB rounds the binary
+    value (the round-5 tie class, resurfaced by the r12 sf1.0
+    correctness sweep: nation_trade_volume diverged on 5 of 600
+    groups whose sums ended in .xx5). SQL twin:
+    CAST(round(sum(...), dp) AS DOUBLE)."""
+    return F.round(F.sum(expr), dp).cast("double").alias(alias)
 
 
 def disc_price() -> Column:

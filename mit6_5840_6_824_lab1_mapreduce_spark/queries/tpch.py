@@ -28,10 +28,10 @@ from .registry import query
     "tpch_q1_pricing_summary",
     oracle=r"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
            (CASE WHEN abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_qty,
            (CASE WHEN abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_price,
            (CASE WHEN abs(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) >= 9007199254.740992 THEN (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) ELSE CAST(floor((CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * CAST(1000000 AS DOUBLE) + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) END) AS avg_disc,
@@ -64,7 +64,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle=r"""
     SELECT l.l_orderkey AS orderkey,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
            o.o_orderpriority AS orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -108,7 +108,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle=r"""
     SELECT n.n_name AS nation,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -343,9 +343,9 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cn.n_name AS cust_nation,
            sn.n_name AS supp_nation,
            count(*) AS n_lines,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-                      AS DOUBLE), 2) AS volume
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))),
+                      2) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -476,8 +476,8 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH revenue AS (
       SELECT l_suppkey,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -736,8 +736,8 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle=r"""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
              AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -771,8 +771,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle=r"""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
              AS revenue,
            round(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2) AS acctbal,
            n.n_name AS nation
@@ -1015,8 +1015,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19_discounted_revenue",
     oracle=r"""
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
              AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1094,11 +1094,11 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_nation_profit",
     oracle=r"""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
                         - CAST(p.p_retailprice AS DECIMAL(18,2))
                           * CAST(l.l_quantity AS DECIMAL(18,2))
-                          * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE), 2)
+                          * CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE)
              AS sum_profit
     FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey AND contains(p.p_name, 'red')

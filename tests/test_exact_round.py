@@ -283,3 +283,81 @@ def test_exact_ratio_wide_cross_engine(spark, num, den, dp):
     ref = ref_int / s
     assert sval == ref, f"spark {sval!r} != ref {ref!r}"
     assert oval == ref, f"duckdb {oval!r} != ref {ref!r}"
+
+
+# ---------------------------------------------------------------------------
+# sum_expr: decimal-sum rounding must happen IN DECIMAL, before the
+# double cast (r12 sf1.0 correctness sweep: nation_trade_volume
+# diverged from its oracle on 5/600 groups whose exact 3dp sums ended
+# on a half, e.g. 545661502.425 — Spark's round(double, 2) HALF_UPs
+# the shortest decimal repr while DuckDB rounds the binary value).
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mit6_5840_6_824_lab1_mapreduce_spark.queries._util import sum_expr  # noqa: E402
+
+# Exact 3-4dp sums landing on 2dp halves — the manufactured-tie class
+# (10x replication turns sf0.1's 4dp sums into 3dp sums, so any .xx25
+# / .xx75 base sum becomes a 2dp rounding tie at sf1.0).
+_TIE_SUMS = ["545661502.425", "0.425", "1234.565", "99999999.995", "7.005"]
+
+
+def test_sum_expr_decimal_tie_cross_engine(spark):
+    """sum_expr and its SQL twin (CAST(round(sum(..), 2) AS DOUBLE))
+    agree with exact HALF_UP on tie sums; the OLD double-first form
+    provably diverges on at least one of them — pinning why the form
+    matters."""
+    rows = [(i, v) for i, v in enumerate(_TIE_SUMS)]
+    sdf = (
+        spark.createDataFrame(rows, "k int, x string")
+        .select("k", F.col("x").cast("decimal(18,4)").alias("x"))
+    )
+    got = {
+        r.k: r.v
+        for r in sdf.groupBy("k").agg(sum_expr(F.col("x"), "v")).collect()
+    }
+    vals = ", ".join(f"({i}, '{v}')" for i, v in rows)
+    ducked = dict(
+        duckdb.sql(
+            f"SELECT k, CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE) AS v"
+            f" FROM (VALUES {vals}) AS t(k, x) GROUP BY k"
+        ).fetchall()
+    )
+    old_form = dict(
+        duckdb.sql(
+            f"SELECT k, round(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE), 2) AS v"
+            f" FROM (VALUES {vals}) AS t(k, x) GROUP BY k"
+        ).fetchall()
+    )
+    diverged = 0
+    for i, v in rows:
+        ref = float(
+            Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        assert got[i] == ref, f"spark {got[i]!r} != HALF_UP {ref!r} for {v}"
+        assert ducked[i] == ref, f"duckdb {ducked[i]!r} != HALF_UP {ref!r} for {v}"
+        if old_form[i] != ref:
+            diverged += 1
+    assert diverged > 0, (
+        "expected the old round(CAST(sum AS DOUBLE), 2) form to diverge on "
+        "at least one tie — if DuckDB now HALF_UPs doubles, re-evaluate"
+    )
+
+
+def test_sum_expr_multirow_tie_sum(spark):
+    """A tie manufactured by SUMMING (0.2125 x 2 = 0.425), not by a
+    single value — the aggregate path itself, exactly the sf1.0
+    nation_trade_volume shape."""
+    sdf = spark.createDataFrame(
+        [("0.2125",), ("0.2125",)], "x string"
+    ).select(F.col("x").cast("decimal(18,4)").alias("x"))
+    v = sdf.agg(sum_expr(F.col("x"), "v")).head().v
+    assert v == 0.43, f"expected HALF_UP 0.43, got {v!r}"
+    o = duckdb.sql(
+        "SELECT CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)"
+        " FROM (VALUES ('0.2125'), ('0.2125')) AS t(x)"
+    ).fetchone()[0]
+    assert o == 0.43
