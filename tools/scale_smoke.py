@@ -139,6 +139,21 @@ QUERIES = [
     "tokenizer_bpe_segment",
     "similarity_ann_multiprobe",
     "sketch_join_estimate",
+    # Round-12, third batch: the next five heaviest never-10x-measured
+    # registered queries (r11 closing record order) — the simhash
+    # fingerprint projection, the decontam Bloom-build arm alone
+    # (decontam_drop_list smoked the composed screen), the rolling
+    # document fingerprint, the Jaccard-vs-threshold recall curve over
+    # the banded pair graph, and the incremental dedup probe's
+    # batch-vs-index join. NOTE: scale_verify.py (r12) now also
+    # records sec_spark for ALL 158 queries at sf1.0 — this rotation
+    # keeps the shuffle-bytes + sf0.1-companion view widening on the
+    # heaviest rows, which the wall-only sweep doesn't carry.
+    "dedup_simhash_fingerprints",
+    "decontam_bloom_prefilter",
+    "text_fingerprint",
+    "dedup_threshold_curve",
+    "dedup_incremental_new",
 ]
 
 # Max base key per table, used to shift each copy into a disjoint range.
