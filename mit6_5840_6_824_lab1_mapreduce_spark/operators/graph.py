@@ -27,54 +27,56 @@ def connected_components(
 
     Deterministic: min-label propagation has a unique fixed point.
     """
-    adj0 = (
+    # ONE shuffle builds the deduped, co-partitioned adjacency (r12
+    # optimization round, guide §2.4): repartition("src") FIRST, then
+    # dedupe with groupBy(src, dst) — hashpartitioning(src) satisfies
+    # the aggregate's clustering requirement (src is a prefix of the
+    # grouping key), so the dedup adds NO second exchange and the
+    # cached table comes out hash-partitioned on the join key, which
+    # every round's join then reads co-partitioned (the per-round
+    # shuffle moves only the label side). This replaces the r05-r11
+    # shape (distinct -> count -> repartition(n_parts) -> persist ->
+    # count -> unpersist), which paid TWO full passes over the edge
+    # list and two extra job launches before the loop could start,
+    # just to hand-size the partition count; AQE's partition
+    # coalescing now sizes the shuffle from the data instead
+    # (scale-adaptive, guide §2.2).
+    adj = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .repartition("src")
         .distinct()
         .persist()
     )
-    # Size the per-round parallelism to the EDGE COUNT, not the
-    # session default: each iteration launches join+agg+count jobs,
-    # and on a near-dup graph (hundreds of edges) a 32-way shuffle
-    # per round is pure task-scheduling overhead — ~20k edges per
-    # partition keeps tasks meaningful, while a corpus-scale graph
-    # still fans out to the full default parallelism. The persisted
-    # adjacency is cached ALREADY HASH-PARTITIONED on the join key,
-    # so every round's join reads it co-partitioned (the per-round
-    # shuffle moves only the label side).
-    spark = edges.sparkSession
-    n_edges = adj0.count()
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
-    adj = adj0.repartition(n_parts, "src").persist()
-    adj.count()
-    adj0.unpersist()
-    # Only edge-endpoint vertices iterate; the singleton majority (in
-    # a near-dup graph, almost everything) never enters the loop and
-    # is unioned back at the end as its own component. At corpus scale
-    # this shrinks every per-round shuffle from |V| to |V_with_edges|.
-    active = adj.select(F.col("src").alias("id")).distinct()
-    # localCheckpoint (eager) rather than persist: an iterative loop
-    # must TRUNCATE lineage each round or the logical plan doubles per
+    # localCheckpoint rather than persist: an iterative loop must
+    # TRUNCATE lineage each round or the logical plan doubles per
     # iteration (labels appears twice per round) and planning itself
     # OOMs after ~15 rounds. Checkpointed partitions live on the
     # executors; the driver only ever sees the scalar `changed` count.
+    # LAZY (r12): the first round's convergence count is the action
+    # that materializes it — an eager checkpoint here was one more
+    # job launch per call for partitions that round 1 reads anyway.
     #
     # Round 1 is FUSED into initialization: with identity labels the
     # first propagate's join degenerates to min(src) per dst, so pay
     # one aggregate here and skip a full join+checkpoint+count round
     # trip (round-5 perf item — one fewer iteration on every call).
-    nbr0 = adj.groupBy(F.col("dst").alias("id")).agg(
-        F.min("src").alias("nbr_component")
-    )
+    # Only edge-endpoint vertices iterate; the singleton majority (in
+    # a near-dup graph, almost everything) never enters the loop and
+    # is unioned back at the end as its own component. At corpus scale
+    # this shrinks every per-round shuffle from |V| to |V_with_edges|.
+    # The adjacency is SYMMETRIC, so groupBy(dst) already covers every
+    # endpoint vertex — the r05-r11 shape's separate active-vertex
+    # distinct + left join against this aggregate produced exactly the
+    # same rows for one more shuffle and an extra join (removed r12).
     labels = (
-        active.join(nbr0, "id", "left")
+        adj.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("nbr_component"))
         .select(
             "id",
-            F.least(
-                F.col("id"), F.coalesce("nbr_component", F.col("id"))
-            ).alias("component"),
+            F.least(F.col("id"), F.col("nbr_component")).alias("component"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def propagate(lbl: DataFrame) -> DataFrame:
@@ -171,9 +173,21 @@ def weighted_pagerank(
     the FINAL ranks are always checkpointed so the returned frame is
     materialized before the cached adjacency is unpersisted.
     """
-    adj = edges.select("src", "dst", F.col("weight").alias("w"))
-    outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
-    adj = adj.join(outw, "src").repartition("src").persist()
+    # Out-weight via a window over the SAME src shuffle the adjacency
+    # cache needs anyway (r12 optimization round): the r05-r11 shape
+    # (groupBy(src) then join back on src) re-derived the edge table
+    # on both sides of that join and paid the join itself; a
+    # sum-over-partition window on the repartitioned edges attaches
+    # `ow` in the same exchange — one pass, identical values (integer
+    # sum, order-free).
+    from pyspark.sql import Window
+
+    adj = (
+        edges.select("src", "dst", F.col("weight").alias("w"))
+        .repartition("src")
+        .withColumn("ow", F.sum("w").over(Window.partitionBy("src")))
+        .persist()
+    )
     nodes = (
         adj.select(F.col("src").alias("node"))
         .union(adj.select(F.col("dst").alias("node")))
@@ -181,9 +195,13 @@ def weighted_pagerank(
         .persist()
     )
     base = int(0.15 * scale)
+    # LAZY initial checkpoint (r12): the first eager truncation below
+    # materializes it; plan depth until then is bounded by
+    # truncate_every rounds. The r05-r11 eager form launched one more
+    # job per call purely to materialize an identity projection.
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("r")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     try:
         for i in range(n_iter):
             contrib = (
@@ -200,7 +218,13 @@ def weighted_pagerank(
                 ).alias("r"),
             )
             if (i + 1) % truncate_every == 0 or i == n_iter - 1:
-                ranks = ranks.localCheckpoint()
+                # Intermediate truncations are LAZY (materialized by
+                # whatever computes through them — plan depth stays
+                # bounded either way); only the FINAL ranks checkpoint
+                # is eager, honoring the contract that the returned
+                # frame is materialized before the cached adjacency is
+                # unpersisted in the finally block.
+                ranks = ranks.localCheckpoint(eager=(i == n_iter - 1))
         return ranks.select("node", F.col("r").alias("rank_scaled"))
     finally:
         adj.unpersist()

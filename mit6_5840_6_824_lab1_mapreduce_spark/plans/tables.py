@@ -48,8 +48,51 @@ TABLES = (
     "embeddings",
 )
 
+# Scan-spread keys (r12 optimization round, guide §2/§6): the
+# testdata ships each table as ONE single-row-group parquet file, so
+# every scan is a 1-task decode and everything Catalyst fuses into the
+# scan stage — filters, decimal partial aggregates, the expand for
+# multi-distinct aggregates, per-row array HOFs — runs serially while
+# 31 cores idle (measured: profile_orders_columns 4.2 s with a 4.9 s
+# single-task stage; tpch_q1's decimal partial aggregate 2.2 s vs
+# 0.5 s for the same shape spread). Queries whose post-scan work is
+# heavy opt in via ``table(..., spread=True)`` (or ``spread="col"``
+# to spread by a column the query already reads, so the repartition
+# key never widens the scan's ReadSchema — the q1 pruning test pins
+# this): rows spread by a high-cardinality key before the heavy
+# work, exactly like the documents guard below. Opt-in rather than blanket (measured r12):
+# for filter-selective or join/window-dominated consumers the extra
+# exchange is a small constant LOSS (their first shuffle is already
+# keyed elsewhere), while the aggregate-over-full-table consumers win
+# 1.5-2x. HASH partitioning on the table key rather than round-robin:
+# round-robin pays a local sort of the whole input inside the 1-task
+# scan for retry determinism (SPARK-23207), measured slower; the key
+# column spreads evenly (sequential surrogate keys). Guarded: on a
+# real multi-split table (at 100 TB every one of these) the estimate
+# clears parallelism and NO shuffle is added — scale-adaptive
+# spreading, not a local[32]-tuned constant.
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "events": "user_id",
+    "embeddings": "vec_id",
+}
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _spread(
+    spark: SparkSession, df: DataFrame, name: str, key: str | None = None
+) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    if _estimated_scan_partitions(df.inputFiles()) < par:
+        df = df.repartition(par, F.col(key or _SPREAD_KEYS[name]))
+    return df
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | str = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -63,8 +106,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if spread:
+            return _spread(
+                spark, df, name, spread if isinstance(spread, str) else None
+            )
+        return df
     if name == "documents":
         # The doc pipelines (shingle/gram/token explode, decode UDFs)
         # do heavy per-row expansion, but the testdata ships documents
@@ -73,13 +122,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # cluster first; the text shuffle is tiny relative to the
         # expansion it parallelizes. Guarded: on a real corpus the
         # scan already has >= cluster-parallelism partitions and the
-        # shuffle is skipped entirely.
+        # shuffle is skipped entirely. (documents keeps ROUND-ROBIN
+        # spreading, unlike the keyed fact tables above: the exchange
+        # audit pins the text-carrying guard exchange to
+        # RoundRobinPartitioning, and the 5000-row local sort it pays
+        # is trivial next to the explode work it parallelizes.)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         par = spark.sparkContext.defaultParallelism
         if _estimated_scan_partitions(df.inputFiles()) < par:
             df = df.repartition(par)
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread and name in _SPREAD_KEYS:
+        df = _spread(spark, df, name, spread if isinstance(spread, str) else None)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -143,7 +143,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     single groupBy-less aggregate (Spark fuses the distinct counts
     via expand), then stack() unpivots the 1-row result to the
     per-column report. No per-column re-scan, no driver loop."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", spread=True)
     aggs = []
     for c in _ORDERS_COLS:
         col = F.col(c)

@@ -44,7 +44,9 @@ from .registry import query
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan-heavy grouped aggregation; the canonical
     map-side-combine workload (the wc of relational engines)."""
-    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
+    li = table(spark, sf_dir, "lineitem", spread="l_shipdate").where(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
     qty = F.col("l_quantity").cast(MONEY)
     price = F.col("l_extendedprice").cast(MONEY)
     disc = F.col("l_discount").cast(MONEY)
@@ -162,7 +164,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus).
     NULL grouping rows coalesced to '<all>' for stable hashing."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread="l_extendedprice")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -360,7 +362,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade matrix. One fact-fact edge
     (lineitem⋈orders); customer/supplier/nation all broadcast — the
     plan has exactly one large shuffle at any scale."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -404,7 +406,7 @@ def monthly_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio per month —
     numerator and denominator in ONE pass (no self-join), exact
     decimal sums so the ratio hashes identically across engines."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread="l_shipdate")
     num = F.sum(
         F.when(
             F.col("l_returnflag") == "R", F.col("l_extendedprice").cast(MONEY)
