@@ -30,8 +30,6 @@ operators/similarity.py).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -96,63 +94,54 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     symbol order, so the rule sequence is engine-reproducible.
 
     Scale shape: every round is one aggregate over the VOCABULARY
-    (never the corpus), the winning pair re-enters the rewrite as a
-    1-row broadcast (no data-dependent literals in the plan), and
-    both the sequence table and the 1-row winner are lineage-truncated
-    per round (localCheckpoint — the tables are vocabulary-sized and
-    1-row respectively), so plan depth stays constant across rounds.
-    Driver traffic per round is one empty/non-empty probe of the
-    already-materialized 1-row winner (the CC loop's scalar-only
-    contract), used to stop when merge candidates run dry.
+    (never the corpus); the winner is a 1-row top-1 collected to the
+    driver (the same loop-control scalar class as the CC loop's
+    convergence count — BPE is driver-sequenced by nature, and the
+    dry-run probe already pulled this row) and re-enters the rewrite
+    as two string literals; the sequence table is lineage-truncated
+    per round (lazy localCheckpoint, materialized by the next round's
+    aggregate), so plan depth stays constant across rounds. r12
+    optimization: the previous shape kept the winner as a 1-row
+    checkpointed frame crossJoin-broadcast into the rewrite — one
+    extra checkpoint + broadcast build per round whose only content
+    the driver had already fetched for the dry-run probe; stage count
+    per round drops to the one aggregate job.
     """
-    empty = words.limit(0).select(
-        F.lit(0).cast("long").alias("merge_rank"),
-        F.lit("").alias("left_sym"),
-        F.lit("").alias("right_sym"),
-        F.lit(0).cast("long").alias("pair_count"),
+    spark = words.sparkSession
+    schema = (
+        "merge_rank long, left_sym string, right_sym string, pair_count long"
     )
-    seq = word_symseq(words).localCheckpoint()
-    merges: list[DataFrame] = [empty]
+    seq = word_symseq(words).localCheckpoint(eager=False)
+    learned: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        # Lazy checkpoints (round-6): the dry-run probe below is the
-        # action that materializes `best`, and the NEXT round's pair
-        # aggregate materializes the rewritten `seq` — one job per
-        # round instead of three (each eager checkpoint ran its own).
-        # Lineage depth between truncations stays at one rewrite step.
-        best = (
+        # Top-1 via TakeOrderedAndProject (map-side partial top-k);
+        # the collect doubles as the dry-run probe. Candidates can run
+        # dry before n_merges (every word fully merged): stop cleanly
+        # with the rules learned so far.
+        rows = (
             adjacent_pair_counts(seq)
             .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        # Candidates can run dry before n_merges (every word fully
-        # merged): stop cleanly with the rules learned so far rather
-        # than threading empty 1-row joins through later rounds.
-        if not best.head(1):
+        if not rows:
             break
-        merges.append(
-            best.select(
-                F.lit(rank).cast("long").alias("merge_rank"),
-                "left_sym",
-                "right_sym",
-                "pair_count",
-            )
+        a, b, cnt = (
+            rows[0]["left_sym"],
+            rows[0]["right_sym"],
+            rows[0]["pair_count"],
         )
+        learned.append((rank, a, b, cnt))
         if rank < n_merges:
-            seq = (
-                seq.crossJoin(F.broadcast(best))
-                .withColumn(
-                    "symseq",
-                    F.replace(
-                        F.col("symseq"),
-                        _merge_search(F.col("left_sym"), F.col("right_sym")),
-                        _merge_repl(F.col("left_sym"), F.col("right_sym")),
-                    ),
-                )
-                .drop("left_sym", "right_sym", "pair_count")
-                .localCheckpoint(eager=False)
-            )
-    return reduce(DataFrame.unionByName, merges)
+            seq = seq.withColumn(
+                "symseq",
+                F.replace(
+                    F.col("symseq"),
+                    _merge_search(F.lit(a), F.lit(b)),
+                    _merge_repl(F.lit(a), F.lit(b)),
+                ),
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(learned, schema)
 
 
 def bpe_segment(seq_words: DataFrame, merges: DataFrame) -> DataFrame:
