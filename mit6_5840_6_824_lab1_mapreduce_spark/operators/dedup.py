@@ -316,7 +316,22 @@ def simhash_near_pairs(
     )
     banded = _cap_buckets(banded, ["seg_idx", "seg_val"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    # Hamming verify BEFORE the pair dedup (r12 optimization round,
+    # guide §2.3 "shuffle fewer bytes"): natural-language simhash
+    # segments are highly non-uniform (measured sf0.1: 8-bit segment
+    # buckets up to ~700 docs, ~2M pre-distinct candidate rows from
+    # 5000 docs), and the old shape shipped every one of those rows —
+    # with BOTH 64-bit fingerprints — through the distinct's exchange
+    # only to throw almost all of them away at the hamming filter
+    # afterwards. bit_count(xor) is a few cycles per row evaluated
+    # map-side in the join stage; filtering there leaves the distinct
+    # a near-dup-sized input. Same rows out: the filter is a
+    # deterministic per-row predicate, so filter-then-distinct ==
+    # distinct-then-filter.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.seg_idx") == F.col("b.seg_idx"))
@@ -326,16 +341,11 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
 
 
 # Sentinel digest for NULL text (r08 nulls contract, class a): md5 of
