@@ -264,14 +264,36 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     tc = tok.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
-    h = tc.withColumn("hx", F.md5(F.col("tok")))
-    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    # Digit parities via integer bit tests (r12 optimization round,
+    # guide §1.2 "per-task work"): hex digit b of the md5 is odd iff
+    # bit (7 - b%8)*4 of the 32-bit word conv'd from chars 8k+1..8k+8
+    # is set — the same value the old form read with substring(hx,
+    # b+1, 1) IN ('1','3','5','7','9','b','d','f'), but 4 conv()
+    # slices + 32 shift-and-mask tests per row instead of 32 string
+    # slices x 8 string equalities (the old aggregate ran ~0.9 s on
+    # the AQE-coalesced single post-shuffle task at sf0.1).
+    h = tc.withColumn("hx", F.md5(F.col("tok"))).select(
+        "id",
+        "cnt",
+        *[
+            F.conv(F.substring("hx", 1 + 8 * k, 8), 16, 10)
+            .cast("long")
+            .alias(f"w{k}")
+            for k in range(4)
+        ],
+    )
+
+    def _odd(b: int) -> Column:
+        return (
+            F.shiftrightunsigned(F.col(f"w{b // 8}"), (7 - b % 8) * 4)
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+
     bit_sums = [
-        F.sum(
-            F.when(F.substring("hx", b + 1, 1).isin(*odd), F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"s{b}")
+        F.sum(F.when(_odd(b), F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            f"s{b}"
+        )
         for b in range(32)
     ]
     per_doc = h.groupBy("id").agg(*bit_sums)
