@@ -84,8 +84,16 @@ _SPREAD_KEYS = {
 def _spread(
     spark: SparkSession, df: DataFrame, name: str, key: str | None = None
 ) -> DataFrame:
+    # Fire only when scan parallelism is genuinely SCARCE (< par/4,
+    # i.e. the post-scan work would run on a handful of tasks), not
+    # merely below the core count: the r12 sf1.0 smoke showed that at
+    # 10 input splits the decode is parallel enough that the spread's
+    # shuffle is pure cost (tpch_q1 2.6 -> 7.8 s with a 51 MB exchange
+    # added), while the 1-split bench-scale scans it exists for still
+    # qualify. At 100 TB every fact table clears this by orders of
+    # magnitude and the spread is a no-op.
     par = spark.sparkContext.defaultParallelism
-    if _estimated_scan_partitions(df.inputFiles()) < par:
+    if _estimated_scan_partitions(df.inputFiles()) < max(2, par // 4):
         df = df.repartition(par, F.col(key or _SPREAD_KEYS[name]))
     return df
 
