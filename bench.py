@@ -349,6 +349,66 @@ def normalized_headline(
     return round(total * prior_floor / this_floor, 3)
 
 
+# The driver keeps only a bounded capture of this process's stdout and
+# json-parses the LAST line to build its BENCH/PERF artifacts. The r11
+# closing line — full_suite (158 entries) + 12 per-query retry stamps,
+# ~9 KB — outgrew that capture and parsed as null, so the driver's
+# round-over-round PERF table was empty for two rounds (r12 verdict
+# task 2). The printed line is therefore capped: per-query retry stamps
+# and the full-suite dict live ONLY in the committed BENCH_FULL record
+# (which write_full_record persists with indent=0 before the line is
+# printed); stdout carries the contract keys, the headline per-query
+# dict, summary scalars, and counts. stdout_record() is pure so the
+# unit battery can pin the worst-case line size.
+STDOUT_LINE_BUDGET = 4096
+
+
+def retry_summary(retried: dict[str, dict]) -> dict:
+    """Counts only — the per-query {first, retry/skipped/error} stamps
+    stay in the BENCH_FULL record, which is where adjudication reads
+    them anyway."""
+    return {
+        "n": len(retried),
+        "kept_min": sum(1 for r in retried.values() if "retry" in r),
+        "skipped": sum(1 for r in retried.values() if "skipped" in r),
+        "errored": sum(1 for r in retried.values() if "error" in r),
+    }
+
+
+def stdout_record(
+    timings: dict[str, float],
+    sf: str,
+    canary: dict,
+    retried: dict[str, dict],
+    *,
+    full_total: float | None = None,
+    headline_norm: float | None = None,
+) -> dict:
+    """The ONE printed JSON line. Key ORDER matters: the driver's BENCH
+    artifact also keeps a short TAIL of stdout for display (round-4
+    verdict: the headline number was swallowed by the full-suite dict),
+    so the big per-query dict goes FIRST and every scalar summary LAST.
+    Size matters more (r12 verdict task 2): no full_suite dict, no
+    per-query retry stamps, no canary raw triples — those live in the
+    committed BENCH_FULL record. Worst case stays under
+    STDOUT_LINE_BUDGET (pinned by test_stdout_record_*)."""
+    record: dict = {"queries": timings}
+    record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    record["canary"] = {k: v for k, v in canary.items() if k != "raw"}
+    if retried:
+        record["retries"] = retry_summary(retried)
+    record["unit"] = "sec"
+    if full_total is not None:
+        record["full_suite_seconds"] = full_total
+    record["metric"] = "headline_suite_seconds"
+    if headline_norm is not None:
+        record["headline_normalized"] = headline_norm
+    total = round(sum(timings.values()), 3)
+    record["headline_suite_seconds"] = total
+    record["value"] = total
+    return record
+
+
 def retry_plan(
     current: dict[str, float],
     prior: dict[str, float],
@@ -622,27 +682,18 @@ def main() -> None:
                 "queries": full,
             },
         )
-    # Key ORDER matters: the driver's BENCH artifact keeps only a
-    # 2000-char TAIL of this line (round-4 verdict: the headline number
-    # was swallowed by the full-suite dict). Emit the big per-query
-    # dicts FIRST and every scalar summary LAST so the tail always
-    # carries metric/value/headline_suite_seconds parseable.
-    record: dict = {}
-    if len(full) > len(timings):
-        record["full_suite"] = full
-    record["queries"] = timings
-    record["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
-    record["canary"] = canary
-    if retried:
-        record["retries"] = retried
-    record["unit"] = "sec"
-    if len(full) > len(timings):
-        record["full_suite_seconds"] = round(sum(full.values()), 3)
-    record["metric"] = "headline_suite_seconds"
-    if headline_norm is not None:
-        record["headline_normalized"] = headline_norm
-    record["headline_suite_seconds"] = total
-    record["value"] = total
+    # Shape + size rationale on stdout_record above (r12 verdict task
+    # 2): full per-query detail is already persisted in BENCH_FULL.
+    record = stdout_record(
+        timings,
+        sf,
+        canary,
+        retried,
+        full_total=(
+            round(sum(full.values()), 3) if len(full) > len(timings) else None
+        ),
+        headline_norm=headline_norm,
+    )
     print(json.dumps(record))
     spark.stop()
 

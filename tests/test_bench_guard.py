@@ -390,3 +390,76 @@ def test_retry_baseline_min_across_lookback(tmp_path):
     assert load_prior_record(pathlib.Path(tmp_path), 11, "0.1")[
         "canary"]["start"] == 0.14
     assert retry_baseline(pathlib.Path(tmp_path), 8, "0.1") == {}
+
+
+def test_stdout_record_contract_keys_and_order():
+    """The printed line keeps the driver contract (metric/value/unit/
+    queries/sf) with the big dict FIRST and scalars LAST (tail-capture
+    safety), retries summarized to counts, and canary raw dropped."""
+    from bench import stdout_record
+
+    timings = {"q_a": 1.5, "q_b": 0.25}
+    canary = {"start": 0.1, "mid": 0.12, "end": 0.11, "spread": 1.2,
+              "slowdown": 1.2, "window_degraded": False,
+              "raw": {"start": [0.1, 0.1, 0.1]}}
+    retried = {
+        "q_a": {"first": 3.0, "retry": 1.5},
+        "q_b": {"first": 2.0, "skipped": "retry budget exhausted"},
+        "q_c": {"first": 1.0, "error": "RuntimeError: boom"},
+    }
+    rec = stdout_record(timings, "0.1", canary, retried,
+                        full_total=42.5, headline_norm=1.6)
+    keys = list(rec)
+    assert keys[0] == "queries" and keys[-1] == "value"
+    assert rec["metric"] == "headline_suite_seconds"
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.1
+    assert rec["value"] == rec["headline_suite_seconds"] == 1.75
+    assert rec["queries"] == timings
+    assert rec["full_suite_seconds"] == 42.5
+    assert rec["headline_normalized"] == 1.6
+    # Retries: counts only — per-query stamps live in BENCH_FULL.
+    assert rec["retries"] == {
+        "n": 3, "kept_min": 1, "skipped": 1, "errored": 1}
+    # Canary: forensic raw triples live in BENCH_FULL, not stdout.
+    assert "raw" not in rec["canary"]
+    assert rec["canary"]["slowdown"] == 1.2
+
+
+def test_stdout_record_worst_case_line_under_budget():
+    """r12 verdict task 2: the r11 stdout line (~9 KB: 158-query
+    full_suite + 12 per-query retry stamps) outgrew the driver's
+    capture and parsed null, nulling the PERF table two rounds
+    running. Pin the worst case: every HEADLINE query at a 4-digit
+    reading, EVERY query retried, normalized stamp present — the line
+    must stay under STDOUT_LINE_BUDGET so the driver can always parse
+    it."""
+    import bench
+    from bench import STDOUT_LINE_BUDGET, stdout_record
+
+    timings = {n: 9999.999 for n in bench.HEADLINE}
+    canary = {"start": 9999.999, "mid": 9999.999, "end": 9999.999,
+              "spread": 99.999, "slowdown": 99.999,
+              "window_degraded": True,
+              "raw": {k: [9999.999] * 3 for k in ("start", "mid", "end")}}
+    retried = {n: {"first": 9999.999, "retry": 9999.999}
+               for n in bench.HEADLINE}
+    rec = stdout_record(timings, "0.1", canary, retried,
+                        full_total=9999999.999, headline_norm=9999.999)
+    line = json.dumps(rec)
+    assert len(line) < STDOUT_LINE_BUDGET, len(line)
+    # And the full-suite headline mode line (no full_total) too.
+    assert len(json.dumps(stdout_record(
+        timings, "0.1", canary, {}, full_total=None, headline_norm=None,
+    ))) < STDOUT_LINE_BUDGET
+
+
+def test_stdout_record_headline_mode_omits_optional_scalars():
+    from bench import stdout_record
+
+    rec = stdout_record({"q": 1.0}, "0.01", {"start": 0.1}, {})
+    assert "full_suite" not in rec
+    assert "full_suite_seconds" not in rec
+    assert "headline_normalized" not in rec
+    assert "retries" not in rec
+    assert rec["sf"] == 0.01
