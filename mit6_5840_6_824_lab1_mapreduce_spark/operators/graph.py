@@ -199,9 +199,13 @@ def weighted_pagerank(
     # materializes it; plan depth until then is bounded by
     # truncate_every rounds. The r05-r11 eager form launched one more
     # job per call purely to materialize an identity projection.
+    # Degenerate n_iter < 1 (ADVICE r12): the loop never runs, so the
+    # initial ranks ARE the final ranks — checkpoint eagerly to honor
+    # the contract that the returned frame is materialized before the
+    # cached adjacency is unpersisted in the finally block.
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("r")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=(n_iter < 1))
     try:
         for i in range(n_iter):
             contrib = (

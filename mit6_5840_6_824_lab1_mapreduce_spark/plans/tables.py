@@ -171,7 +171,17 @@ def _build_table(
             df = df.repartition(par)
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if spread and name in _SPREAD_KEYS:
+    if spread:
+        # An explicit string key is honored for ANY table (ADVICE r12:
+        # the old `name in _SPREAD_KEYS` gate silently dropped
+        # spread="col" on unregistered tables); bare spread=True needs
+        # a registered key and fails loudly rather than silently
+        # un-spreading a future call site.
+        if not isinstance(spread, str) and name not in _SPREAD_KEYS:
+            raise KeyError(
+                f"table {name!r} has no registered spread key; "
+                f"pass spread='<column>' explicitly"
+            )
         df = _spread(spark, df, name, spread if isinstance(spread, str) else None)
     return df
 

@@ -116,3 +116,24 @@ def test_pagerank_mass_and_floor_bounds(spark):
     assert sum(r.rank_scaled for r in rows) <= n * 1_000_000
     # a real trade network concentrates rank: not all equal
     assert len({r.rank_scaled for r in rows}) > 1
+
+
+def test_pagerank_zero_iterations_materialized_before_unpersist(spark):
+    """Degenerate n_iter=0 (ADVICE r12): the loop never runs, so the
+    initial ranks are the final ranks — they must be eagerly
+    checkpointed BEFORE the finally block unpersists the cached
+    adjacency (the r12 lazy-init change made this path return an
+    unmaterialized frame). Ranks = scale for every node."""
+    from mit6_5840_6_824_lab1_mapreduce_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2, weight=3), Row(src=2, dst=1, weight=1)]
+    )
+    out = weighted_pagerank(edges, n_iter=0)
+    # The returned plan must already be a materialized checkpoint
+    # (ExistingRDD/LogicalRDD scan), not the live adjacency lineage.
+    assert "parquet" not in out._jdf.queryExecution().executedPlan().toString().lower()
+    assert {(r.node, r.rank_scaled) for r in out.collect()} == {
+        (1, 1_000_000), (2, 1_000_000)}

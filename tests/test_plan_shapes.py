@@ -268,3 +268,19 @@ def test_video_decode_is_single_arrow_stage(spark):
     assert plan.count("MapInPandas") == 1
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read  # only doc_id enters the Arrow stage
+
+
+def test_spread_explicit_key_honored_on_unregistered_table(spark):
+    """ADVICE r12: an explicit string spread key must work for ANY
+    table (the old gate silently ignored spread="col" unless the table
+    had a registered default), and bare spread=True without a
+    registered key must fail loudly instead of silently un-spreading."""
+    import pytest
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.plans.tables import table
+
+    df = table(spark, SF_SMOKE, "supplier", spread="s_suppkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(s_suppkey" in plan
+    with pytest.raises(KeyError):
+        table(spark, SF_SMOKE, "supplier", spread=True)
