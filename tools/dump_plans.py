@@ -17,7 +17,11 @@ from mit6_5840_6_824_lab1_mapreduce_spark.queries import REGISTRY
 from mit6_5840_6_824_lab1_mapreduce_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+)
 
 TARGETS = [
     "dedup_minhash_lsh",
