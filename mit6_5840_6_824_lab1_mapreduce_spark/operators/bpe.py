@@ -141,7 +141,14 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
                     _merge_repl(F.lit(a), F.lit(b)),
                 ),
             ).localCheckpoint(eager=False)
-    return spark.createDataFrame(learned, schema)
+    # Arrow local frame, not createDataFrame(list): the list path
+    # parallelizes into one Python-backed partition per core, and the
+    # first action over the merges table then pays ~32 Python worker
+    # round trips for <= n_merges rows (r13; rationale + measurements
+    # in session.local_rows_df).
+    from ..session import local_rows_df
+
+    return local_rows_df(spark, learned, schema)
 
 
 def bpe_segment(seq_words: DataFrame, merges: DataFrame) -> DataFrame:

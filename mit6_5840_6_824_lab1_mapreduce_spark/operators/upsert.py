@@ -74,7 +74,12 @@ def merge_upsert(
         # first batch of a streaming sink: nothing to merge against —
         # still dedupe within the batch, then create the table
         target_schema = updates.schema
-        target_slice = spark.createDataFrame([], target_schema).withColumn(
+        # JVM-pure empty relation (r13; see session.local_rows_df):
+        # the createDataFrame([], schema) form cost one empty
+        # Python-backed partition per core per downstream action.
+        from ..session import local_rows_df
+
+        target_slice = local_rows_df(spark, [], target_schema).withColumn(
             "_src", F.lit(0)
         )
     else:

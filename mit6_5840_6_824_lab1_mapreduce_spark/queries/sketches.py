@@ -31,6 +31,7 @@ from ..functions.tokenize import LETTER_SPLIT_RE
 from ..operators.dedup import gram_windows, tokens
 from ..operators.rank import with_global_order
 from ..plans import table
+from ..session import local_rows_df
 from ._util import (
     det_round_spark,
     det_round_sql,
@@ -844,7 +845,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window. Ties on cents are harmless: the VALUE at a fixed global
     # position is deterministic whatever order tied rows take.
     ranked = with_global_order(o, [F.asc("cents")], rn="rn")
-    targets = spark.createDataFrame(
+    # Arrow local frame (r13): the createDataFrame(list) path executes
+    # as one Python-backed partition per core — ~32 worker round trips
+    # to deserialize THREE rows (see session.local_rows_df).
+    targets = local_rows_df(
+        spark,
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
         "qname string, num long, den long",
     )

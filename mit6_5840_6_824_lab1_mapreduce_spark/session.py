@@ -88,3 +88,39 @@ def warm_python_worker_pool(spark: SparkSession) -> None:
         .mapInPandas(_noop, schema="id long")
         .count()
     )
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str):
+    """Driver-local literal rows -> DataFrame WITHOUT Python-worker
+    execution (r13 optimization round, guide §4/§5).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the pickled
+    rows into ``defaultParallelism`` Python-backed partitions, so the
+    first downstream action launches one Python worker round trip PER
+    CORE to deserialize a handful of rows — measured 0.5-2.8 s of
+    blocked executor time for a 16-row table on local[32] (32 tasks,
+    ~5 ms of CPU total). The pandas/Arrow path ships the same rows to
+    the JVM as Arrow batches at CREATION time instead, so execution is
+    a plain JVM scan; coalesce(1) collapses the per-batch slices (a
+    loop-result table is at most a few hundred rows — consumers
+    broadcast or collect it).
+
+    Supported cell types here: int/str (all the call sites need).
+    Empty input gets a JVM-pure empty relation (range(0) + typed null
+    casts — identical schema incl. nullability): even an EMPTY
+    ``createDataFrame([], schema)`` executes 32 empty Python-backed
+    partitions per action, measured ~0.43 s vs ~0.07 s for the range
+    form.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st]
+        )
+    import pandas as pd
+
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=[f.name for f in st])
+    return spark.createDataFrame(pdf, st).coalesce(1)

@@ -211,3 +211,36 @@ def test_duckdb_double_division_by_zero_yields_null():
     import duckdb
 
     assert duckdb.sql("SELECT 1.0/0.0").fetchone()[0] is None
+
+
+def test_local_rows_df_matches_create_dataframe(spark):
+    """r13: local literal frames are built via Arrow (non-empty) or a
+    JVM range(0) projection (empty) so no action launches per-core
+    Python-backed partitions — values, schema, and nullability must be
+    indistinguishable from the classic createDataFrame path."""
+    from pyspark.sql import functions as F
+
+    from mit6_5840_6_824_lab1_mapreduce_spark.session import local_rows_df
+
+    rows = [(1, "ab", 10), (2, "cd", 20), (3, "", 0)]
+    ddl = "rank long, sym string, cnt long"
+    a = spark.createDataFrame(rows, ddl)
+    b = local_rows_df(spark, rows, ddl)
+    assert [(f.name, f.dataType, f.nullable) for f in a.schema] == [
+        (f.name, f.dataType, f.nullable) for f in b.schema
+    ]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # single JVM partition, no Python evaluation in the plan
+    assert b.rdd.getNumPartitions() == 1
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+    e = local_rows_df(spark, [], ddl)
+    ec = spark.createDataFrame([], ddl)
+    assert [(f.name, f.dataType, f.nullable) for f in e.schema] == [
+        (f.name, f.dataType, f.nullable) for f in ec.schema
+    ]
+    assert e.count() == 0
+    # StructType schema accepted too (upsert passes updates.schema)
+    e2 = local_rows_df(spark, [], ec.schema)
+    assert e2.schema == ec.schema
