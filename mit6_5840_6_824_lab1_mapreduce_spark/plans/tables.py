@@ -85,16 +85,22 @@ _SPREAD_KEYS = {
 def _spread(
     spark: SparkSession, df: DataFrame, name: str, key: str | None = None
 ) -> DataFrame:
-    # Fire only when scan parallelism is genuinely SCARCE (< par/4,
-    # i.e. the post-scan work would run on a handful of tasks), not
-    # merely below the core count: the r12 sf1.0 smoke showed that at
-    # 10 input splits the decode is parallel enough that the spread's
-    # shuffle is pure cost (tpch_q1 2.6 -> 7.8 s with a 51 MB exchange
-    # added), while the 1-split bench-scale scans it exists for still
-    # qualify. At 100 TB every fact table clears this by orders of
-    # magnitude and the spread is a no-op.
+    # Fire ONLY when the scan is a single split — the case the spread
+    # exists for (a 1-task decode serializing everything behind it).
+    # History of this guard: r12 started at `est < par`, hardened to
+    # `est < max(2, par // 4)` after an sf1.0 regression; r13 measured
+    # the remaining borderline case (est = 2: one 135 MB file, two
+    # byte-range splits) and the spread LOSES there too — q1 at sf1.0
+    # reads 1.01/1.10 s unspread vs 1.27/1.41 s spread (min-of-3,
+    # alternating legs ×2): with two scan tasks the heavy partial
+    # aggregate already parallelizes at the exchange, so the extra
+    # 51 MB repartition is pure cost. Any multi-split scan wins
+    # without help; at 100 TB every fact table is thousands of splits
+    # and the spread is a structural no-op. The threshold is
+    # deliberately core-count-independent, so the driver's lower-core
+    # bench legs see the identical plan.
     par = spark.sparkContext.defaultParallelism
-    if _estimated_scan_partitions(df.inputFiles()) < max(2, par // 4):
+    if _estimated_scan_partitions(df.inputFiles()) < 2:
         df = df.repartition(par, F.col(key or _SPREAD_KEYS[name]))
     return df
 
